@@ -1,0 +1,98 @@
+"""Run configuration for the near-dup pipeline.
+
+Analog of the reference's ``config.json`` run-parameter snapshot
+(reference: fastdup/__init__.py:231-247, fastdup_controller.py:816-842) —
+every parameter that affects results is captured here, serialized into the
+work_dir manifest, and folded into each stage's resume fingerprint.
+
+Defaults mirror the reference's thresholds where a text-native analog
+exists: similarity threshold 0.9 (reference __init__.py:481), component
+threshold 0.96 ("ccthreshold", fastdup_controller.py:1519), outlier
+percentile 0.05 (reference __init__.py:482), and the signature config
+mandated by BASELINE.json: char-5-gram shingles, 128 permutations,
+16 bands x 8 rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- signature config (fixed by BASELINE.json north rule) ---
+    shingle_size: int = 5          # char n-gram width
+    num_perms: int = 128           # minhash permutations
+    num_bands: int = 16            # LSH bands
+    rows_per_band: int = 8         # minhash rows per band (num_bands*rows_per_band == num_perms)
+    seed: int = 42                 # seeds the permutation matrix (deterministic)
+
+    # --- thresholds (reference parity) ---
+    threshold: float = 0.9         # similarity edge cutoff (est. Jaccard)
+    cc_threshold: float = 0.96     # component-merge cutoff ("ccthreshold")
+    lower_threshold: float = 0.05  # outlier percentile (bottom 5% of pair sims)
+
+    # --- validity filter (analog of reference's <10x10px / min_file_size rule,
+    #     reference __init__.py:519-520) ---
+    min_text_len: int = 20         # chars; shorter docs -> is_valid=False, error_code="TOO_SHORT"
+
+    # --- verification ---
+    verify_mode: str = "exact"     # "exact": true shingle Jaccard via joins back to text;
+                                   # "signature": estimate from the 128-perm signature (no join)
+
+    # --- skew handling (hot LSH buckets; SURVEY.md §4 "Skew") ---
+    max_bucket_pairs: int = 64     # buckets with <= this many docs emit all C(m,2) pairs;
+                                   # larger buckets emit a star to the min doc_id (keeps the
+                                   # bucket connected with diameter 2, caps emission at m-1)
+
+    # --- exact-substring stage (fingerprint-based; SURVEY.md G10) ---
+    substring_len: int = 256       # minimum shared-run length targeted
+    substring_sample_mod: int = 16 # keep 1/mod of rolling fingerprints (winnowing-style)
+
+    # --- simhash ---
+    simhash_hamming: int = 3       # max hamming distance for simhash near-dup pairs
+
+    # --- execution knobs ---
+    batch_size: int = 1024         # rows per batch for signature/extract stages
+    extract_concurrency: int = 4   # actor-pool size for the HTML extractor stage
+    num_partitions: int = 32       # hash-join / shuffle partition count
+    cc_max_rounds: int = 50        # safety bound on label-propagation rounds
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"num_bands*rows_per_band ({self.num_bands}*{self.rows_per_band}) "
+                f"!= num_perms ({self.num_perms})"
+            )
+        if self.verify_mode not in ("exact", "signature"):
+            raise ValueError(f"unknown verify_mode {self.verify_mode!r}")
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DedupConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def fingerprint(self, *parts: str) -> str:
+        """Stable fingerprint of this config plus extra context strings.
+
+        Used as the stage resume key: a checkpoint is only reused when the
+        config AND the upstream fingerprints are unchanged (SURVEY.md §7.4
+        "Resume correctness").
+        """
+        h = hashlib.sha256(self.to_json().encode())
+        for p in parts:
+            h.update(b"\x00")
+            h.update(p.encode())
+        return h.hexdigest()[:24]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,62 @@
+"""64-bit SimHash fingerprints — the second Signer (SURVEY.md §7.1 M6).
+
+Token-level SimHash: whitespace tokens are hashed to uint64, each hash
+votes +-1 per bit position, the fingerprint's bit b is 1 iff the weighted
+sum is positive. Near-duplicates have small Hamming distance between
+fingerprints; candidate pairing buckets fingerprints on 16-bit quarters
+(pigeonhole: hamming <= 3 implies at least one identical quarter).
+
+Segment-vectorized like the MinHash kernel: one token-hash pass over the
+batch, then `np.add.reduceat` per document over the 64 bit-columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fastdup_ray.functions.hashing import hash64_strings
+
+
+def simhash64(texts) -> np.ndarray:
+    """uint64 fingerprint per text. Empty/whitespace-only texts -> 0."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    tokens: list[str] = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        tk = t.split()
+        counts[i] = len(tk)
+        tokens.extend(tk)
+    if not tokens:
+        return out
+    h = hash64_strings(tokens)
+    # (N, 64) bit matrix as int8 votes (1 / -1)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    votes = bits * 2 - 1
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    nonempty = counts > 0
+    sums = np.add.reduceat(votes, offsets[nonempty], axis=0)
+    fp_bits = (sums > 0).astype(np.uint64)
+    fps = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = fps
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between uint64 arrays (vectorized popcount)."""
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)).view(np.uint8)
+    return np.unpackbits(x.reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+
+
+def simhash_quarters(fp: np.ndarray) -> np.ndarray:
+    """(n, 4) uint64 bucket keys: the four 16-bit quarters, tagged by index.
+
+    Pigeonhole guarantee: two fingerprints within Hamming distance 3 share
+    at least one untouched quarter, so they collide in >= 1 bucket.
+    """
+    fp = np.asarray(fp, dtype=np.uint64)
+    qs = np.stack(
+        [(fp >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)], axis=1
+    )
+    return qs + (np.arange(4, dtype=np.uint64)[None, :] << np.uint64(16))

@@ -1,0 +1,157 @@
+"""Unit tests for the hashing / MinHash / SimHash kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from fastdup_ray.functions.hashing import (
+    hash64_str,
+    hash64_strings,
+    mix64,
+    rolling_shingle_hashes,
+    segmented_shingle_hashes,
+)
+from fastdup_ray.functions.minhash import (
+    MinHasher,
+    band_buckets,
+    estimate_jaccard,
+    exact_jaccard_pairs,
+)
+from fastdup_ray.functions.simhash import hamming64, simhash64, simhash_quarters
+
+
+def test_hash64_deterministic_and_distinct():
+    a = hash64_strings(["foo", "bar", "foo", ""])
+    b = hash64_strings(["foo", "bar", "foo", ""])
+    assert np.array_equal(a, b)
+    assert a[0] == a[2]
+    assert a[0] != a[1]
+    assert hash64_str("foo") == int(a[0])
+    assert a.dtype == np.uint64
+
+
+def test_mix64_bijective_sample():
+    x = np.arange(1000, dtype=np.uint64)
+    m = mix64(x)
+    assert len(np.unique(m)) == 1000
+
+
+def test_rolling_shingles_match_naive():
+    data = b"abcdefgh"
+    h = rolling_shingle_hashes(data, 5)
+    assert h.shape[0] == 4
+    # each window hash equals hashing that window alone
+    for i in range(4):
+        single = rolling_shingle_hashes(data[i : i + 5], 5)
+        assert single.shape[0] == 1
+        assert h[i] == single[0]
+    # distinct windows hash distinctly here
+    assert len(np.unique(h)) == 4
+
+
+def test_segmented_shingles_per_doc():
+    texts = ["abcdefgh", "xy", "", "abcdefgh"]
+    h, off = segmented_shingle_hashes(texts, 5)
+    assert list(np.diff(off)) == [4, 0, 0, 4]
+    np.testing.assert_array_equal(h[off[0] : off[1]], h[off[3] : off[4]])
+    solo = rolling_shingle_hashes(b"abcdefgh", 5)
+    np.testing.assert_array_equal(h[0:4], solo)
+
+
+def _mutate(text: str, frac: float, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    words = text.split()
+    n_mut = max(1, int(len(words) * frac))
+    idx = rng.choice(len(words), size=n_mut, replace=False)
+    for i in idx:
+        words[i] = f"mut{rng.integers(0, 10**6)}"
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    base = [" ".join(rng.choice(vocab, size=rng.integers(80, 300))) for _ in range(30)]
+    return base
+
+
+def test_minhash_estimates_jaccard(corpus):
+    mh = MinHasher(5, 128, 42)
+    a = corpus[0]
+    b = _mutate(a, 0.02, 1)   # high overlap
+    c = _mutate(a, 0.5, 2)    # low overlap
+    sig, n_sh = mh.signatures([a, b, c])
+    assert sig.shape == (3, 128)
+    assert (n_sh > 0).all()
+    true_ab = exact_jaccard_pairs([a], [b], 5)[0]
+    true_ac = exact_jaccard_pairs([a], [c], 5)[0]
+    est_ab = estimate_jaccard(sig[0:1], sig[1:2])[0]
+    est_ac = estimate_jaccard(sig[0:1], sig[2:3])[0]
+    assert true_ab > 0.85 and true_ac < 0.6
+    assert abs(est_ab - true_ab) < 0.12
+    assert abs(est_ac - true_ac) < 0.15
+    # identical docs -> identical signatures
+    sig2, _ = mh.signatures([a])
+    np.testing.assert_array_equal(sig[0], sig2[0])
+
+
+def test_minhash_batch_equals_single(corpus):
+    """Signatures must not depend on batch composition (parallelism invariance)."""
+    mh = MinHasher(5, 128, 42)
+    batch_sig, _ = mh.signatures(corpus)
+    for i in [0, 7, 29]:
+        solo, _ = mh.signatures([corpus[i]])
+        np.testing.assert_array_equal(batch_sig[i], solo[0])
+
+
+def test_minhash_empty_and_short():
+    mh = MinHasher(5, 128, 42)
+    sig, n_sh = mh.signatures(["", "abc", "abcdefghij"])
+    assert n_sh[0] == 0 and n_sh[1] == 0 and n_sh[2] == 6
+    assert (sig[0] == 0xFFFFFFFF).all()
+    assert (sig[1] == 0xFFFFFFFF).all()
+    assert not (sig[2] == 0xFFFFFFFF).all()
+
+
+def test_band_buckets_collision_semantics(corpus):
+    mh = MinHasher(5, 128, 42)
+    a = corpus[0]
+    b = _mutate(a, 0.01, 3)
+    c = corpus[1]
+    sig, _ = mh.signatures([a, b, c])
+    bk = band_buckets(sig, 16, 8)
+    assert bk.shape == (3, 16)
+    # near-identical docs share at least one band bucket; unrelated docs share none
+    assert (bk[0] == bk[1]).any()
+    assert not (bk[0] == bk[2]).any()
+    # band keys for the same doc differ across bands (band index folded in)
+    assert len(np.unique(bk[0])) == 16
+
+
+def test_simhash_properties(corpus):
+    a = corpus[0]
+    b = _mutate(a, 0.02, 4)
+    c = corpus[1]
+    fp = simhash64([a, b, c, a, ""])
+    assert fp.dtype == np.uint64
+    assert fp[0] == fp[3]
+    assert fp[4] == 0
+    d_ab = hamming64(fp[0:1], fp[1:2])[0]
+    d_ac = hamming64(fp[0:1], fp[2:3])[0]
+    assert d_ab < d_ac
+    assert d_ab <= 12
+    assert d_ac > 15
+
+
+def test_simhash_batch_equals_single(corpus):
+    batch = simhash64(corpus)
+    for i in [0, 5, 29]:
+        assert batch[i] == simhash64([corpus[i]])[0]
+
+
+def test_simhash_quarters_pigeonhole():
+    fp = np.array([0x1234_5678_9ABC_DEF0], dtype=np.uint64)
+    flipped = fp ^ np.uint64(0b101)  # hamming 2, low quarter touched
+    qa, qb = simhash_quarters(fp)[0], simhash_quarters(flipped)[0]
+    assert (qa == qb).sum() == 3  # three untouched quarters still collide
+    assert hamming64(fp, flipped)[0] == 2
