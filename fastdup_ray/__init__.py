@@ -18,3 +18,25 @@ from fastdup_ray.config import DedupConfig
 __version__ = "0.1.0"
 
 __all__ = ["DedupConfig", "__version__"]
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this package's code to Ray workers by value.
+
+    The repo is used in-place (never pip-installed), so worker processes
+    cannot import `fastdup_ray` by name — cloudpickle's default
+    by-reference serialization would make every `map_batches(Cls)` actor
+    die in a restart loop. Registering the package for by-value pickling
+    embeds the needed classes/functions in the task spec instead.
+    """
+    try:
+        import sys
+
+        from ray import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+
+_register_pickle_by_value()

@@ -32,6 +32,22 @@ def hash64_str(s: str) -> int:
     return int(hash64_strings([s])[0])
 
 
+def id63(strings) -> np.ndarray:
+    """Stable NON-NEGATIVE int64 id per string (doc_id = id63(url)).
+
+    63-bit because Ray Data's shuffle/groupby machinery converts key
+    columns through Python ints and chokes on uint64 values above 2^63
+    (falls back to pickled object blocks). All grouping/join keys in this
+    engine are therefore int64 with the sign bit clear.
+    """
+    return (hash64_strings(strings) >> np.uint64(1)).astype(np.int64)
+
+
+def to_i63(h: np.ndarray) -> np.ndarray:
+    """uint64 hash array -> non-negative int64 key array (drop one bit)."""
+    return (np.asarray(h, dtype=np.uint64) >> np.uint64(1)).astype(np.int64)
+
+
 def hash64_strings(strings) -> np.ndarray:
     """Stable uint64 hash of an array of strings, vectorized.
 
@@ -78,9 +94,13 @@ def rolling_shingle_hashes(data: bytes, k: int) -> np.ndarray:
     n = arr.shape[0] - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint32)
-    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
     coef = _pow_u64(np.uint64(0x100000001B3), np.arange(k - 1, -1, -1, dtype=np.uint64))
-    h = (win * coef).sum(axis=1, dtype=np.uint64)
+    # accumulate the k-term polynomial without materializing an (n, k)
+    # window matrix (k passes over an n-sized uint64 temp, O(n) memory)
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            h += arr[i : i + n].astype(np.uint64) * coef[i]
     return (mix64(h) >> np.uint64(32)).astype(np.uint32)
 
 

@@ -69,24 +69,37 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     return (sig_a == sig_b).mean(axis=1)
 
 
+def shingle_sets(texts, k: int) -> list[np.ndarray]:
+    """Sorted unique char-k-gram hash set per text (uint32 arrays)."""
+    h, off = segmented_shingle_hashes(texts, k)
+    return [np.unique(h[off[i] : off[i + 1]]) for i in range(len(off) - 1)]
+
+
+def jaccard_of_sets(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Jaccard of two sorted-unique hash arrays."""
+    if sa.size == 0 and sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
+
+
 def exact_jaccard_pairs(texts_a, texts_b, k: int) -> np.ndarray:
     """True char-k-gram Jaccard for aligned lists of text pairs (verify stage).
 
     Uses the shingle-hash sets (uint32); collision probability 2^-32 is
-    negligible against the 0.9/0.96 thresholds. Per-pair set intersection
-    via np.intersect1d on the two hash arrays.
+    negligible against the 0.9/0.96 thresholds. Texts are shingled once
+    per unique string (pairs batches repeat hub documents heavily).
     """
+    uniq: dict[str, int] = {}
+    order: list[str] = []
+    for t in list(texts_a) + list(texts_b):
+        if t not in uniq:
+            uniq[t] = len(order)
+            order.append(t)
+    sets = shingle_sets(order, k)
     out = np.zeros(len(texts_a), dtype=np.float64)
-    ha, oa = segmented_shingle_hashes(texts_a, k)
-    hb, ob = segmented_shingle_hashes(texts_b, k)
-    for i in range(len(texts_a)):
-        sa = np.unique(ha[oa[i] : oa[i + 1]])
-        sb = np.unique(hb[ob[i] : ob[i + 1]])
-        if sa.size == 0 and sb.size == 0:
-            out[i] = 0.0
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        out[i] = inter / (sa.size + sb.size - inter)
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        out[i] = jaccard_of_sets(sets[uniq[ta]], sets[uniq[tb]])
     return out
 
 

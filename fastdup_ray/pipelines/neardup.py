@@ -1,0 +1,343 @@
+"""End-to-end near-duplicate pipeline with per-stage Parquet checkpoints.
+
+The Ray-Data-native replacement for the reference's
+`fd = fastdup.create(input_dir, work_dir); fd.run()` flow
+(reference engine.py:36-158, fastdup_controller.py:523-653; C++ do_main
+writing similarity.csv / connected_components.csv into a work_dir,
+SURVEY.md §3.1). Here every stage is a Dataset transform and every
+checkpoint is a Parquet directory with a lineage manifest:
+
+    work_dir/
+      docs/          url-keyed corpus after HTML->text extraction
+      signatures/    doc_id, minhash[128], simhash, n_shingles
+      pairs/         distinct LSH candidate pairs (src, dst)
+      pair_scores/   verified pairs (src, dst, distance)
+      components/    node -> component label (min doc_id in component)
+      <stage>/manifest.json   fingerprint, row counts per file, wall_s
+
+Resume (north rule "resumable from checkpoint"): each stage's
+fingerprint covers the config plus all upstream fingerprints; a stage
+re-runs iff its fingerprint changed, otherwise its Parquet checkpoint is
+read back. Writes are atomic (write to `_tmp.<name>`, rename) so a
+killed run never leaves a half-checkpoint that resume would trust.
+
+Accessors mirror the reference controller's query surface
+(similarity/outliers/connected_components/..., SURVEY.md §2.5-2.8,
+M4 milestone).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+from fastdup_ray.config import DedupConfig
+from fastdup_ray.relational.ops import actor_pool_size, hash_join
+from fastdup_ray.stages.components import component_info, connected_components
+from fastdup_ray.stages.extract import HtmlExtractStage
+from fastdup_ray.stages.lsh import candidate_pairs
+from fastdup_ray.stages.signatures import BandStage, SignStage
+from fastdup_ray.stages.verify import verify_pairs
+
+
+def _dir_fingerprint(path: str) -> str:
+    """Cheap input fingerprint: file names + sizes + mtimes under path."""
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
+
+
+class NearDupPipeline:
+    def __init__(self, config: DedupConfig | None = None, work_dir: str = "/tmp/fastdup_ray_work"):
+        self.cfg = config or DedupConfig()
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ stages
+    def _stage(self, name: str, upstream_fps: list[str], build, *, resume: bool = True):
+        """Run-or-restore one checkpointed stage. Returns (Dataset, fingerprint)."""
+        fp = self.cfg.fingerprint(name, *upstream_fps)
+        stage_dir = os.path.join(self.work_dir, name)
+        data_dir = os.path.join(stage_dir, "data")
+        man_path = os.path.join(stage_dir, "manifest.json")
+        if resume and os.path.exists(man_path):
+            try:
+                man = json.load(open(man_path))
+            except json.JSONDecodeError:
+                man = None
+            if man and man.get("fingerprint") == fp and os.path.isdir(data_dir):
+                return rd.read_parquet(data_dir), fp
+        t0 = time.monotonic()
+        ds = build()
+        tmp_dir = os.path.join(stage_dir, f"_tmp.{name}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        ds.write_parquet(tmp_dir)
+        wall = time.monotonic() - t0
+        # per-partition lineage: row count + bytes per written file
+        files = []
+        total_rows = 0
+        for f in sorted(os.listdir(tmp_dir)):
+            fpath = os.path.join(tmp_dir, f)
+            meta = pq.ParquetFile(fpath).metadata
+            files.append({"file": f, "rows": meta.num_rows,
+                          "bytes": os.stat(fpath).st_size})
+            total_rows += meta.num_rows
+        shutil.rmtree(data_dir, ignore_errors=True)
+        os.replace(tmp_dir, data_dir)
+        manifest = {
+            "stage": name,
+            "fingerprint": fp,
+            "upstream": upstream_fps,
+            "rows": total_rows,
+            "wall_s": round(wall, 3),
+            "files": files,
+            "config": self.cfg.to_dict(),
+        }
+        with open(man_path + ".tmp", "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(man_path + ".tmp", man_path)
+        return rd.read_parquet(data_dir), fp
+
+    def run(self, pages=None, *, pages_path: str | None = None,
+            input_token: str | None = None, resume: bool = True,
+            already_extracted: bool = False) -> "NearDupResult":
+        """Execute extract -> sign -> LSH -> verify -> components.
+
+        pages: a Dataset of the input_hint schema (url, warc_ts, html, text,
+        lang), or pass pages_path to read Parquet. input_token identifies the
+        input for resume fingerprinting (defaults to pages_path's file
+        stat fingerprint; ad-hoc Datasets are never resumed unless a token
+        is given).
+        """
+        cfg = self.cfg
+        if pages is None:
+            if pages_path is None:
+                raise ValueError("pass pages or pages_path")
+            pages = rd.read_parquet(pages_path)
+        if input_token is None:
+            input_token = (
+                _dir_fingerprint(pages_path) if pages_path else f"adhoc:{time.time_ns()}"
+            )
+
+        docs, fp_docs = self._stage(
+            "docs", [input_token],
+            lambda: pages.map_batches(
+                HtmlExtractStage,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=(1, actor_pool_size(cfg.extract_concurrency)),
+                fn_constructor_kwargs={"min_text_len": cfg.min_text_len},
+            ),
+            resume=resume,
+        )
+
+        sigs, fp_sigs = self._stage(
+            "signatures", [fp_docs],
+            lambda: docs.map_batches(
+                SignStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+            ),
+            resume=resume,
+        )
+
+        pairs, fp_pairs = self._stage(
+            "pairs", [fp_sigs],
+            lambda: candidate_pairs(
+                sigs.map_batches(BandStage(cfg), batch_format="pyarrow",
+                                 batch_size=cfg.batch_size),
+                cfg,
+            ),
+            resume=resume,
+        )
+
+        scores, fp_scores = self._stage(
+            "pair_scores", [fp_pairs, fp_docs],
+            lambda: verify_pairs(pairs, sigs, docs, cfg),
+            resume=resume,
+        )
+
+        def build_components():
+            edges = scores.map_batches(
+                lambda b: b.filter(
+                    pa.compute.greater_equal(b["distance"], pa.scalar(cfg.cc_threshold))
+                ),
+                batch_format="pyarrow",
+            )
+            return connected_components(edges, cfg)
+
+        comps, fp_comps = self._stage(
+            "components", [fp_scores], build_components, resume=resume
+        )
+
+        return NearDupResult(self, docs, sigs, pairs, scores, comps)
+
+
+class NearDupResult:
+    """Query surface over the pipeline's checkpointed tables — the analog of
+    the reference's FastdupController accessors (similarity() at
+    fastdup_controller.py:260-280, outliers() :282-310,
+    connected_components() :420-453, connected_components_grouped()
+    :456-520, summary() :660-756)."""
+
+    def __init__(self, pipe: NearDupPipeline, docs, sigs, pairs, scores, comps):
+        self.cfg = pipe.cfg
+        self.work_dir = pipe.work_dir
+        self._docs = docs
+        self._sigs = sigs
+        self._pairs = pairs
+        self._scores = scores
+        self._comps = comps
+
+    # raw tables ---------------------------------------------------------
+    def docs(self):
+        return self._docs
+
+    def signatures(self):
+        return self._sigs
+
+    def pair_scores(self):
+        return self._scores
+
+    # reference-parity accessors ----------------------------------------
+    def similarity(self, threshold: float | None = None):
+        """Edges (src, dst, distance) with distance >= threshold, most
+        similar first — similarity.csv semantics (RUN.md:43-55)."""
+        t = self.cfg.threshold if threshold is None else threshold
+        return (
+            self._scores.map_batches(
+                lambda b: b.filter(pa.compute.greater_equal(b["distance"], pa.scalar(t))),
+                batch_format="pyarrow",
+            )
+            .sort("distance", descending=True)
+        )
+
+    def connected_components(self):
+        """(doc_id, component_id) for every edge-touched doc; docs absent
+        here are singletons (component_id == own doc_id)."""
+        return self._comps.rename_columns({"node": "doc_id", "label": "component_id"})
+
+    def component_info(self):
+        return component_info(self._comps)
+
+    def connected_components_grouped(self, min_count: int = 2):
+        """One row per component: component_id, files_ids (sorted), len,
+        min_distance analog omitted here (see duplicates report) —
+        fastdup_controller.connected_components_grouped():456-520."""
+        import pandas as pd
+
+        def to_lists(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g["doc_id"].to_numpy())
+            if ids.shape[0] < min_count:
+                return pd.DataFrame({"component_id": [], "files_ids": [], "len": []})
+            return pd.DataFrame(
+                {
+                    "component_id": [int(g["component_id"].iloc[0])],
+                    "files_ids": [ids.tolist()],
+                    "len": [int(ids.shape[0])],
+                }
+            )
+
+        return (
+            self.connected_components()
+            .groupby("component_id")
+            .map_groups(to_lists, batch_format="pandas")
+        )
+
+    def outliers(self):
+        """Per-doc best-match edges in the bottom `lower_threshold` quantile
+        of best-match similarity (G3; reference outliers.csv RUN.md:57-68).
+        Quantile is computed on a driver-side sample of per-doc maxima
+        (documented approximation, SURVEY.md §7.4)."""
+        best = (
+            self._scores.map_batches(_symmetrize_scores, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Max("distance", alias_name="best"))
+        ).materialize()
+        sample = best.random_sample(min(1.0, 200_000 / max(1, best.count())), seed=self.cfg.seed)
+        vals = np.array([r["best"] for r in sample.take_all()], dtype=np.float64)
+        if vals.size == 0:
+            return best.rename_columns({"node": "src", "best": "distance"})
+        q = float(np.quantile(vals, self.cfg.lower_threshold))
+        return best.map_batches(
+            lambda b: b.filter(pa.compute.less_equal(b["best"], pa.scalar(q))),
+            batch_format="pyarrow",
+        ).rename_columns({"node": "src", "best": "distance"})
+
+    def summary(self) -> dict:
+        """Counts digest — reference summary() (fastdup_controller.py:660-756)."""
+        n_docs = self._docs.count()
+        n_valid = self._docs.map_batches(
+            lambda b: b.filter(b["is_valid"]), batch_format="pyarrow"
+        ).count()
+        n_edges = self.similarity().count()
+        info = self.component_info().materialize()
+        n_comp = info.count()
+        largest = info.max("count") if n_comp else 0
+        in_comps = self._comps.count()
+        return {
+            "total_docs": n_docs,
+            "valid_docs": n_valid,
+            "invalid_docs": n_docs - n_valid,
+            "similarity_edges": n_edges,
+            "clustered_docs": in_comps,
+            "components": n_comp,
+            "largest_component": largest,
+        }
+
+    def duplicates_report(self, num_rows: int = 100, ascending: bool = False):
+        """Top similarity edges (O1: sort desc + head, galleries.py:353-378)."""
+        return self.similarity().limit(num_rows) if not ascending else (
+            self._scores.sort("distance").limit(num_rows)
+        )
+
+    def keep_table(self):
+        """Per-doc keep/drop decision: within each component keep the doc
+        with min (warc_ts, url); everything else drops — the D4
+        `delete_components(how='one')` keep-first policy
+        (reference __init__.py:1629-1677) with a deterministic canonical
+        choice instead of list order."""
+        import pandas as pd
+
+        side = self._docs.select_columns(["doc_id", "url", "warc_ts"])
+        labeled = hash_join(
+            self.connected_components(), side, on="doc_id", right_on="doc_id",
+            num_partitions=self.cfg.num_partitions,
+        )
+
+        def decide(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["warc_ts", "url"], kind="mergesort")
+            keep = np.zeros(len(g), dtype=bool)
+            keep[0] = True
+            return pd.DataFrame(
+                {"doc_id": g["doc_id"].to_numpy(), "keep": keep,
+                 "component_id": g["component_id"].to_numpy()}
+            )
+
+        return labeled.groupby("component_id").map_groups(decide, batch_format="pandas")
+
+
+def _symmetrize_scores(batch: pa.Table) -> pa.Table:
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
+    d = batch["distance"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "distance": pa.array(np.concatenate([d, d]), pa.float64()),
+        }
+    )

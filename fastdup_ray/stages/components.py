@@ -1,0 +1,158 @@
+"""Distributed connected components over the similarity graph.
+
+Reproduces the reference's connected-components stage (Turi-style CC at
+`ccthreshold`, reference RUN.md:77-113, fastdup_controller.py:435-453)
+as iterative min-label propagation expressed with Ray Data hash joins
+and Min aggregates — fully vectorized, no driver-side graph and no
+per-group Python calls (SURVEY.md G4).
+
+Algorithm: every node starts labeled min(own id, min neighbor id); each
+round, every node's label becomes min(own label, labels of neighbors).
+Labels only decrease and converge to the component's minimum doc_id —
+which also NORMALIZES component ids deterministically (min member id),
+unlike the reference's arbitrary ints (RUN.md:92), so outputs are
+parallelism-invariant.
+
+One round = one hash join (edge endpoint -> neighbor label), one
+groupby-Min shuffle, and a Sum aggregate for exact fixpoint detection.
+Labels are materialized per round (iterative lineage would otherwise
+re-execute all prior rounds; the label table is 16 bytes/node). Round
+count is O(graph diameter); LSH buckets emit cliques or stars
+(diameter <= 2), so diameters stay small; `cc_max_rounds` bounds
+pathology.
+
+Also provides a driver-side union-find for oracle tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min, Sum
+
+from fastdup_ray.config import DedupConfig
+from fastdup_ray.relational.ops import hash_join
+
+_NULL = np.int64(np.iinfo(np.int64).max)  # "no old label" sentinel on edge messages
+
+
+def _symmetrize(batch: pa.Table) -> pa.Table:
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "nbr": pa.array(np.concatenate([dst, src]), pa.int64()),
+        }
+    )
+
+
+def connected_components(edges, config: DedupConfig | None = None):
+    """edges: Dataset (src, dst[, ...]) -> materialized Dataset (node, label).
+
+    Only nodes incident to at least one edge appear; callers treat
+    absent docs as singletons (their own component), matching the
+    reference where singleton components are dropped downstream via the
+    count filter (fastdup_controller.py:440).
+    """
+    cfg = config or DedupConfig()
+    nparts = cfg.num_partitions
+    sym = edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
+
+    # initial labels: min(node, min neighbor) in one shuffle
+    init = sym.groupby("node").aggregate(Min("nbr", alias_name="mn"))
+    labels = init.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "label": pa.array(
+                    np.minimum(
+                        b["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        b["mn"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _round in range(cfg.cc_max_rounds):
+        nbr_side = labels.rename_columns({"node": "nbr_node", "label": "nbr_label"})
+        edge_msgs = hash_join(
+            sym, nbr_side, on="nbr", right_on="nbr_node", num_partitions=nparts
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "cand": b["nbr_label"],
+                    "old": pa.array(np.full(b.num_rows, _NULL), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        self_msgs = labels.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "cand": b["label"], "old": b["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        agg = edge_msgs.union(self_msgs).groupby("node").aggregate(
+            Min("cand", alias_name="label"), Min("old", alias_name="old_label")
+        )
+        resolved = agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "label": b["label"],
+                    "changed": pa.array(
+                        (
+                            b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                            < b["old_label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_changed = resolved.aggregate(Sum("changed", alias_name="n"))["n"]
+        labels = resolved.drop_columns(["changed"])
+        if not n_changed:
+            break
+    return labels.materialize()
+
+
+def component_info(labels):
+    """labels (node, label) -> (component_id, count) — the reference's
+    component_info.csv (RUN.md:84-93)."""
+    return (
+        labels.groupby("label")
+        .aggregate(Count(alias_name="count"))
+        .rename_columns({"label": "component_id"})
+    )
+
+
+def union_find_oracle(pairs) -> dict[int, int]:
+    """Driver-side union-find for tests: node -> min-id component label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    seen: set[int] = set()
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}

@@ -11,8 +11,8 @@ batch. The extraction itself is deterministic pure Python (stdlib
 HTMLParser) so the north-rule invariant — byte-identical `text` per url —
 holds across runs, platforms and parallelism levels.
 
-Output schema (the `docs` table, SURVEY.md §1.2): doc_id uint64 (stable
-hash of url, replacing the reference's listing-order dense ids), url,
+Output schema (the `docs` table, SURVEY.md §1.2): doc_id int64 (stable
+63-bit hash of url, replacing the reference's listing-order dense ids), url,
 warc_ts, lang, text, n_bytes, error_code, is_valid. The wide `html`
 binary column is dropped here so downstream blocks stay narrow
 (SURVEY.md §7.4 "Wide rows").
@@ -25,7 +25,7 @@ from html.parser import HTMLParser
 import numpy as np
 import pyarrow as pa
 
-from fastdup_ray.functions.hashing import hash64_strings
+from fastdup_ray.functions.hashing import id63
 
 _SKIP_TAGS = frozenset(
     {"script", "style", "nav", "footer", "header", "aside", "noscript", "head", "title"}
@@ -119,7 +119,7 @@ class HtmlExtractStage:
             texts.append(text)
             errors.append(err)
         is_valid = pa.array([e == ERR_OK for e in errors], pa.bool_())
-        doc_id = pa.array(hash64_strings(urls), pa.uint64())
+        doc_id = pa.array(id63(urls), pa.int64())
         cols = {
             "doc_id": doc_id,
             "url": batch["url"],
