@@ -1,44 +1,51 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in fastdup_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship near-dup pipeline (HTML extract -> MinHash/LSH ->
+  exact verify -> connected components -> keep-one policy) over a pages
+  table derived deterministically from /root/testdata/sf0.001/documents
+  (input_hint schema: url, warc_ts, html, text, lang).
+- queries()/oracle_sql(): operator catalog from SURVEY.md §2 — see
+  fastdup_ray/pipelines/queries.py for the per-query documentation.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from fastdup_ray.config import DedupConfig
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.sources.pages import pages_from_documents
+
+    docs_tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs_tbl, replicate=2, seed=42)
+    work_dir = "/tmp/fastdup_ray_entry_workdir"
+    shutil.rmtree(work_dir, ignore_errors=True)
+    pipe = NearDupPipeline(DedupConfig(), work_dir=work_dir)
+    res = pipe.run(rd.from_arrow(pages).repartition(8), input_token="entry-sf0.001")
+    # flagship result: per-doc keep/drop decision table (doc_id, keep,
+    # component_id) — the D4 remove_duplicates analog
+    return res.keep_table()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fastdup_ray.pipelines.queries import queries as _queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fastdup_ray.pipelines.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline near-dup pipeline + query suite timings.
+
+Usage:
+    python bench.py                # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling      # fresh 8-cpu and 32-cpu processes on the
+                                   # same input; reports scaling efficiency
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1). The headline corpus
+is the `pages` table derived deterministically from that dir's documents
+table, replicated x$BENCH_REPLICATE (default 40 -> ~200k pages at sf0.1)
+so the dedup pipeline has web-scale-shaped work (HTML payloads, planted
+near-dups) rather than 5k tiny rows.
+
+Prints ONE JSON line:
+  {"metric": "e2e_neardup_dedup", "value": <headline seconds>,
+   "unit": "sec", "queries": {...per-query seconds...}, "sf": ...,
+   "num_cpus": N, "docs_per_sec": ..., "corpus_docs": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "40"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=ncpu, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from fastdup_ray.config import DedupConfig
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.pipelines.queries import queries as query_catalog
+    from fastdup_ray.sources.pages import pages_from_documents
+
+    # ---- headline: e2e dedup over the derived pages corpus ----
+    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs_tbl, replicate=replicate, seed=42)
+    n_docs = pages.num_rows
+    work_dir = f"/tmp/fastdup_ray_bench_{ncpu}"
+    shutil.rmtree(work_dir, ignore_errors=True)
+    cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu)
+    pipe = NearDupPipeline(cfg, work_dir=work_dir)
+
+    pages_ds = rd.from_arrow(pages).repartition(max(8, ncpu * 2)).materialize()
+    t0 = time.monotonic()
+    res = pipe.run(pages_ds, input_token=f"bench-{ncpu}", resume=False)
+    n_comp = res.connected_components().count()  # force the full chain
+    headline = time.monotonic() - t0
+
+    # ---- query suite (skip the O(sum df^2) ngram oracle query at bench
+    # scale; it exists for the sf0.01 correctness gate) ----
+    bench_queries = [
+        "doc_stats", "exact_dup_components", "lang_summary", "source_topk",
+        "chars_p90", "prefix_dup_pairs", "token_totals", "minhash_components",
+        "simhash_fingerprints", "ann_topk", "windowed_events",
+        "customer_revenue_topk", "customers_without_orders", "pricing_summary",
+    ]
+    cat = query_catalog()
+    q_times: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.monotonic()
+        out = cat[name](sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        q_times[name] = round(time.monotonic() - t0, 3)
+
+    return {
+        "metric": "e2e_neardup_dedup",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "corpus_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "clustered_docs": n_comp,
+    }
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": results[lo]["docs_per_sec"],
+        f"docs_per_sec_{hi}": results[hi]["docs_per_sec"],
+        "sf": results[hi]["sf"],
+        "corpus_docs": results[hi]["corpus_docs"],
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

@@ -235,27 +235,27 @@ class NearDupResult:
         return component_info(self._comps)
 
     def connected_components_grouped(self, min_count: int = 2):
-        """One row per component: component_id, files_ids (sorted), len,
-        min_distance analog omitted here (see duplicates report) —
+        """One row per component: component_id, files_ids (sorted), len —
         fastdup_controller.connected_components_grouped():456-520."""
         import pandas as pd
 
-        def to_lists(g: pd.DataFrame) -> pd.DataFrame:
-            ids = np.sort(g["doc_id"].to_numpy())
-            if ids.shape[0] < min_count:
-                return pd.DataFrame({"component_id": [], "files_ids": [], "len": []})
+        from fastdup_ray.relational.ops import partitioned_groupby
+
+        def to_lists(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["component_id", "doc_id"], kind="mergesort")
+            g = df.groupby("component_id", sort=False)["doc_id"].agg(list)
+            g = g[g.map(len) >= min_count]
             return pd.DataFrame(
                 {
-                    "component_id": [int(g["component_id"].iloc[0])],
-                    "files_ids": [ids.tolist()],
-                    "len": [int(ids.shape[0])],
+                    "component_id": g.index.to_numpy(),
+                    "files_ids": g.to_numpy(),
+                    "len": g.map(len).to_numpy().astype(np.int64),
                 }
             )
 
-        return (
-            self.connected_components()
-            .groupby("component_id")
-            .map_groups(to_lists, batch_format="pandas")
+        return partitioned_groupby(
+            self.connected_components(), "component_id", to_lists,
+            num_parts=self.cfg.num_partitions,
         )
 
     def outliers(self):
@@ -263,10 +263,17 @@ class NearDupResult:
         of best-match similarity (G3; reference outliers.csv RUN.md:57-68).
         Quantile is computed on a driver-side sample of per-doc maxima
         (documented approximation, SURVEY.md §7.4)."""
-        best = (
-            self._scores.map_batches(_symmetrize_scores, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Max("distance", alias_name="best"))
+        import pandas as pd
+
+        from fastdup_ray.relational.ops import partitioned_groupby
+
+        def best_agg(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", as_index=False, sort=False)["distance"].max()
+            return g.rename(columns={"distance": "best"})
+
+        best = partitioned_groupby(
+            self._scores.map_batches(_symmetrize_scores, batch_format="pyarrow"),
+            "node", best_agg, num_parts=self.cfg.num_partitions,
         ).materialize()
         sample = best.random_sample(min(1.0, 200_000 / max(1, best.count())), seed=self.cfg.seed)
         vals = np.array([r["best"] for r in sample.take_all()], dtype=np.float64)
@@ -319,16 +326,22 @@ class NearDupResult:
             num_partitions=self.cfg.num_partitions,
         )
 
-        def decide(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["warc_ts", "url"], kind="mergesort")
-            keep = np.zeros(len(g), dtype=bool)
-            keep[0] = True
+        from fastdup_ray.relational.ops import partitioned_groupby
+
+        def decide(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["component_id", "warc_ts", "url"], kind="mergesort")
+            keep = df.groupby("component_id", sort=False).cumcount() == 0
             return pd.DataFrame(
-                {"doc_id": g["doc_id"].to_numpy(), "keep": keep,
-                 "component_id": g["component_id"].to_numpy()}
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "keep": keep.to_numpy(),
+                    "component_id": df["component_id"].to_numpy(),
+                }
             )
 
-        return labeled.groupby("component_id").map_groups(decide, batch_format="pandas")
+        return partitioned_groupby(
+            labeled, "component_id", decide, num_parts=self.cfg.num_partitions
+        )
 
 
 def _symmetrize_scores(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,699 @@
+"""Driver-facing query catalog: one entry per implemented operator family
+(SURVEY.md §2), each as a Ray Data pipeline over the testdata tables, with
+a DuckDB oracle-SQL twin where the semantics are SQL-expressible.
+
+Column names and rounding are kept EXACTLY in sync between each Ray
+pipeline and its SQL twin — the driver hashes values after sorting
+columns by name, so any drift is a correctness failure.
+
+Conventions:
+- all ratios/aggregated doubles are rounded (6 dp for per-row stats,
+  4 dp wide aggregates, 2 dp money, 5 dp cosines) on BOTH sides;
+- deterministic tiebreaks on every top-k (secondary sort on the key);
+- each query reads only the columns it needs (prune at the read).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from fastdup_ray.config import DedupConfig
+from fastdup_ray.relational.ops import (
+    broadcast_semi_join,
+    hash_join,
+    partitioned_groupby,
+)
+from fastdup_ray.stages.stats import TextStatsStage
+
+
+
+def _int_round(x: np.ndarray) -> np.ndarray:
+    """Half-UP integer rounding: floor(x+0.5). numpy's np.round is
+    half-to-even while DuckDB's ROUND is half-away-from-zero — they
+    disagree on exactly-representable X.5 (e.g. 81774.75*0.94*100).
+    Both sides of every oracle pair use floor(x+0.5) instead."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ----------------------------------------------------------------- doc stats
+def q_doc_stats(sf_dir: str):
+    """M6 analog: per-doc text statistics (SQL-checkable subset)."""
+    stats = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TextStatsStage(), batch_format="pyarrow", batch_size=2048
+    )
+    return stats.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_lines", "uniq_token_ratio",
+         "mean_word_len", "digit_ratio", "non_ascii_ratio"]
+    )
+
+
+SQL_DOC_STATS = r"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+  CASE WHEN length(text)=0 THEN 0 ELSE length(text) - length(replace(text, chr(10), '')) + 1 END AS n_lines,
+  ROUND(CASE WHEN trim(text)='' THEN 0 ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')) END, 6) AS uniq_token_ratio,
+  ROUND(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_word_len,
+  ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 6) AS digit_ratio,
+  ROUND((length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))::DOUBLE / length(text), 6) AS non_ascii_ratio
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- exact dedup
+def q_exact_dup_components(sf_dir: str):
+    """D1/D4 analog: exact dedup by content hash — component id = min doc_id
+    among byte-identical texts (hash-partitioned groupby, no O(n^2))."""
+    from fastdup_ray.functions.hashing import id63
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "content_key": pa.array(id63(batch["text"].to_pylist()), pa.int64()),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["component_id"] = df.groupby("content_key")["doc_id"].transform("min")
+        return df[["doc_id", "component_id"]]
+
+    return partitioned_groupby(ds, "content_key", assign)
+
+
+SQL_EXACT_DUP_COMPONENTS = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component_id FROM documents
+"""
+
+
+# --------------------------------------------------------------- lang summary
+def q_lang_summary(sf_dir: str):
+    """A8/A9 analog: per-language corpus digest."""
+    agg = (
+        _t(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = batch["total_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": pa.array(n, pa.int64()),
+                "total_chars": pa.array(total, pa.int64()),
+                "avg_chars": pa.array(np.round(total / n, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LANG_SUMMARY = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       ROUND(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------- source top-k
+def q_source_topk(sf_dir: str):
+    """O3 analog: top components by size -> top sources by doc count."""
+    return (
+        _t(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .sort(["n_docs", "source"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_SOURCE_TOPK = """
+SELECT source, count(*) AS n_docs FROM documents
+GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------- exact quantile threshold
+def q_chars_p90(sf_dir: str):
+    """M18/A7 analog: percentile thresholding, computed EXACTLY and
+    scalably via the integer-metric distribution (groupby n_chars + counts
+    to the driver; never a full sort)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    dist = ds.groupby("n_chars").aggregate(Count(alias_name="c")).take_all()
+    dist.sort(key=lambda r: r["n_chars"])
+    total = sum(r["c"] for r in dist)
+    cum = 0
+    threshold = dist[-1]["n_chars"]
+    for r in dist:
+        cum += r["c"]
+        if cum / total >= 0.9:
+            threshold = r["n_chars"]
+            break
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_chars"], pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CHARS_P90 = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (
+  SELECT min(n_chars) FROM (
+    SELECT n_chars, cume_dist() OVER (ORDER BY n_chars) AS cd FROM documents
+  ) WHERE cd >= 0.9
+)
+"""
+
+
+# ------------------------------------------------------------ prefix dup pairs
+def q_prefix_dup_pairs(sf_dir: str):
+    """G1-lite with an exact oracle: candidate pairs sharing an identical
+    64-char prefix (bucket groupby + intra-bucket pair emission — the same
+    shuffle shape as the LSH stage, but SQL-checkable)."""
+    from fastdup_ray.functions.hashing import id63
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(id63([t[:64] for t in texts]), pa.int64()),
+            }
+        )
+
+    from fastdup_ray.stages.lsh import make_emit_partition
+
+    return partitioned_groupby(
+        _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            keyed, batch_format="pyarrow"
+        ),
+        "bucket",
+        make_emit_partition(max_bucket_pairs=1_000_000),  # exact: no star cap
+    )
+
+
+SQL_PREFIX_DUP_PAIRS = """
+SELECT a.doc_id AS src, b.doc_id AS dst
+FROM documents a JOIN documents b
+ON substr(a.text, 1, 64) = substr(b.text, 1, 64) AND a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------------- token totals
+def q_token_totals(sf_dir: str):
+    """Pre-aggregation pattern: per-batch partial token sums, then a tiny
+    groupby — the combiner idiom the reference lacks (single-process)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "tok": [len(t.split()) for t in batch["text"].to_pylist()],
+            }
+        )
+        g = df.groupby("lang", as_index=False)["tok"].sum()
+        return pa.table({"lang": g["lang"].astype(str), "tok": g["tok"].astype(np.int64)})
+
+    return (
+        _t(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("tok", alias_name="total_tokens"))
+    )
+
+
+SQL_TOKEN_TOTALS = r"""
+SELECT lang,
+  CAST(sum(CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------- n-gram Jaccard near-dup
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
+    """Exact char-5-gram Jaccard near-dup pairs via a shingle inverted
+    index (shingle -> doc list groupby -> co-occurrence counts), the
+    SQL-checkable exact counterpart of the MinHash path. Cost is
+    sum-of-df^2 over shingles — fine at oracle scale; the MinHash/LSH
+    pipeline is the 100TB path (see q_minhash_components)."""
+    k = 5
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        gs: list[str] = []
+        ds_: list[int] = []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            if len(t) >= k:
+                uniq = {t[j : j + k] for j in range(len(t) - k + 1)}
+                gs.extend(uniq)
+                ds_.extend([int(ids[i])] * len(uniq))
+        return pa.table({"g": pa.array(gs, pa.string()), "doc_id": pa.array(ds_, pa.int64())})
+
+    sh = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(shingle_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def size_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False, sort=False).size()
+        return g.rename(columns={"size": "sz"})
+
+    sizes = partitioned_groupby(sh, "doc_id", size_agg)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        multi = df[df.duplicated("g", keep=False)]
+        srcs, dsts = [], []
+        for _, g in multi.groupby("g", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+            m = ids.shape[0]
+            if m < 2:
+                continue
+            iu = np.triu_indices(m, k=1)
+            srcs.append(ids[iu[0]])
+            dsts.append(ids[iu[1]])
+        if not srcs:
+            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
+        # partial pre-aggregation: count pair co-occurrences within this
+        # partition before the global (src,dst) exchange
+        df2 = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        g = df2.groupby(["src", "dst"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "pc"})
+
+    partial_counts = partitioned_groupby(sh, "g", emit)
+
+    def count_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src", "dst"], as_index=False, sort=False)["pc"].sum()
+        return g.rename(columns={"pc": "c"})
+
+    inter = partitioned_groupby(partial_counts, ["src", "dst"], count_agg).materialize()
+
+    j1 = hash_join(
+        inter, sizes.rename_columns({"doc_id": "k1", "sz": "sz_src"}),
+        on="src", right_on="k1",
+    ).materialize()
+    j2 = hash_join(
+        j1, sizes.rename_columns({"doc_id": "k2", "sz": "sz_dst"}),
+        on="dst", right_on="k2",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = batch["sz_src"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = batch["sz_dst"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dist = c / (sa + sb - c)
+        keep = dist >= threshold
+        return pa.table(
+            {
+                "src": batch["src"].filter(pa.array(keep)),
+                "dst": batch["dst"].filter(pa.array(keep)),
+                "distance": pa.array(np.round(dist[keep], 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH docs AS (SELECT doc_id, text, length(text) AS L FROM documents),
+nums AS (SELECT unnest(range(1, (SELECT coalesce(max(L),1) FROM docs)+1)) AS i),
+sh AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, n.i::INT, 5) AS g
+  FROM docs d JOIN nums n ON n.i <= d.L - 4
+),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, ROUND(c::DOUBLE/(sa.sz+sb.sz-c), 6) AS distance
+FROM inter JOIN sizes sa ON sa.doc_id = src JOIN sizes sb ON sb.doc_id = dst
+WHERE c::DOUBLE/(sa.sz+sb.sz-c) >= 0.9
+"""
+
+
+# ----------------------------------------------------------- minhash pipeline
+def q_minhash_components(sf_dir: str, threshold: float = 0.9):
+    """The scale path (G1+G4): MinHash/LSH candidates + exact verify +
+    distributed CC over the documents table. No SQL twin (LSH is
+    probabilistic); recall vs the exact n-gram oracle is asserted in
+    tests/test_queries.py."""
+    from fastdup_ray.stages.components import connected_components
+    from fastdup_ray.stages.lsh import candidate_pairs
+    from fastdup_ray.stages.signatures import BandStage, SignStage
+    from fastdup_ray.stages.verify import verify_pairs
+
+    cfg = DedupConfig(threshold=threshold, cc_threshold=threshold)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    sigs = docs.map_batches(SignStage(cfg), batch_format="pyarrow").materialize()
+    pairs = candidate_pairs(
+        sigs.map_batches(BandStage(cfg), batch_format="pyarrow"), cfg
+    )
+    scores = verify_pairs(pairs, sigs, docs, cfg).materialize()
+    edges = scores.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["distance"], pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges, cfg)
+    return labels.rename_columns({"node": "doc_id", "label": "component_id"})
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    """M6/M2 analog: 64-bit SimHash per doc (deterministic; rows-only)."""
+    from fastdup_ray.functions.simhash import simhash64
+
+    def fp(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch["text"].to_pylist())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(sh.view(np.int64), pa.int64())}
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------------ ANN top-k
+def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Similarity search: brute-force cosine top-k of every vec against the
+    query set (vec_id < n_queries), computed as a broadcast numpy matmul
+    per batch + per-query top-k reduce — the baseline ANN path
+    (embedding-cosine near-dup family)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take_all() if r["vec_id"] < n_queries), key=lambda r: r["vec_id"]
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put((qids, qm_n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qn = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(ids), -1)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mn @ qn.T  # (n, q)
+        nq = qi.shape[0]
+        out_q = np.repeat(qi, ids.shape[0])
+        out_n = np.tile(ids, nq)
+        out_c = cos.T.ravel()
+        keep = out_q != out_n
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep], pa.int64()),
+                "neighbor_id": pa.array(out_n[keep], pa.int64()),
+                "cosine": pa.array(np.round(out_c[keep], 5), pa.float64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id", "cosine"]]
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_ANN_TOPK = """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) AS cosine
+FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+WHERE q.vec_id < 5
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) DESC,
+           e.vec_id ASC
+) <= 10
+"""
+
+
+# --------------------------------------------------------------- window agg
+def q_windowed_events(sf_dir: str):
+    """Streaming-shaped custom operator: tumbling 1-hour windows per
+    event_type (partial per-batch aggregation, then a small groupby —
+    no per-row shuffle of the raw events)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            window_start=batch["ts"].dt.floor("h"),
+            value_e4=_int_round(batch["value"].to_numpy() * 10000),
+        )
+        g = batch.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("event_id", "size"), sum_value=("value_e4", "sum")
+        )
+        return g
+
+    agg = (
+        _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events_s"),
+            Sum("sum_value", alias_name="sum_value_s"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["window_start"],
+                "n_events": pa.array(
+                    batch["n_events_s"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                # per-row scaled-int then exact int sum (see pricing_summary)
+                "total_value_e4": pa.array(
+                    batch["sum_value_s"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WINDOWED_EVENTS = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ join + topk
+def q_customer_revenue_topk(sf_dir: str):
+    """J1/O1 analog: orders x customer hash join, grouped revenue, top-10."""
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # per-row integer cents before summation (see pricing_summary note)
+        cents = _int_round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        )
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "cents": pa.array(cents, pa.int64())}
+        )
+
+    rev = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="revenue_raw"), Count(alias_name="n_orders"))
+    ).materialize()
+    joined = hash_join(
+        rev, _t(sf_dir, "customer", ["c_custkey", "c_name"]),
+        on="o_custkey", right_on="c_custkey",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": batch["c_name"],
+                "n_orders": batch["n_orders"],
+                "revenue_cents": pa.array(
+                    batch["revenue_raw"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_CUSTOMER_REVENUE_TOPK = """
+SELECT o.o_custkey AS c_custkey, c.c_name, count(*) AS n_orders,
+       CAST(sum(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ anti-join
+def q_customers_without_orders(sf_dir: str):
+    """J5 anti-join: customers with no orders, via broadcast key-set filter
+    (no shuffle; the key set ships once per task)."""
+    custkeys = set()
+    for b in _t(sf_dir, "orders", ["o_custkey"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        custkeys.update(b["o_custkey"].to_pylist())
+    res = broadcast_semi_join(
+        _t(sf_dir, "customer", ["c_custkey"]), "c_custkey", custkeys, keep=False
+    )
+    # collect into a TYPED table: an empty Dataset otherwise loses its
+    # schema through to_pandas and fails the driver's schema compare
+    vals = sorted(r["c_custkey"] for r in res.take_all())
+    return pa.table({"c_custkey": pa.array(vals, pa.int64())})
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ------------------------------------------------------------ pricing summary
+def q_pricing_summary(sf_dir: str):
+    """A1-style wide aggregate (TPC-H Q1 shape) with per-batch partial
+    aggregation before the shuffle."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        # integerize PER ROW before any summation: the per-row double
+        # expression is bit-identical to DuckDB's, so per-row rounding
+        # agrees, and int64 sums are order-independent and exact
+        batch = batch.assign(
+            qty_i=_int_round(batch["l_quantity"].to_numpy()),
+            bp_cents=_int_round(batch["l_extendedprice"].to_numpy() * 100),
+            dp_cents=_int_round(
+                (batch["l_extendedprice"] * (1 - batch["l_discount"])).to_numpy() * 100
+            ),
+        )
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_i", "sum"),
+            sum_base_price=("bp_cents", "sum"),
+            sum_disc_price=("dp_cents", "sum"),
+            count_order=("qty_i", "size"),
+        )
+        return g
+
+    agg = (
+        _t(
+            sf_dir, "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+             "l_linestatus", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="q"),
+            Sum("sum_base_price", alias_name="bp"),
+            Sum("sum_disc_price", alias_name="dp"),
+            Sum("count_order", alias_name="n"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        q = batch["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bp = batch["bp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dp = batch["dp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(q, pa.int64()),
+                "sum_base_price_cents": pa.array(bp, pa.int64()),
+                "sum_disc_price_cents": pa.array(dp, pa.int64()),
+                "avg_qty": pa.array(np.round(q.astype(np.float64) / n, 4), pa.float64()),
+                "count_order": pa.array(n, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+  ROUND(sum(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))::DOUBLE / count(*), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------------------------------- catalogs
+def queries():
+    return {
+        "doc_stats": q_doc_stats,
+        "exact_dup_components": q_exact_dup_components,
+        "lang_summary": q_lang_summary,
+        "source_topk": q_source_topk,
+        "chars_p90": q_chars_p90,
+        "prefix_dup_pairs": q_prefix_dup_pairs,
+        "token_totals": q_token_totals,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_components": q_minhash_components,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "ann_topk": q_ann_topk,
+        "windowed_events": q_windowed_events,
+        "customer_revenue_topk": q_customer_revenue_topk,
+        "customers_without_orders": q_customers_without_orders,
+        "pricing_summary": q_pricing_summary,
+    }
+
+
+def oracle_sql():
+    return {
+        "doc_stats": SQL_DOC_STATS,
+        "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
+        "lang_summary": SQL_LANG_SUMMARY,
+        "source_topk": SQL_SOURCE_TOPK,
+        "chars_p90": SQL_CHARS_P90,
+        "prefix_dup_pairs": SQL_PREFIX_DUP_PAIRS,
+        "token_totals": SQL_TOKEN_TOTALS,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "ann_topk": SQL_ANN_TOPK,
+        "windowed_events": SQL_WINDOWED_EVENTS,
+        "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        # minhash_components / simhash_fingerprints: probabilistic or
+        # hash-defined -> rows-only check by design
+    }

