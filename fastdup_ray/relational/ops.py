@@ -46,15 +46,48 @@ def actor_pool_size(requested: int) -> int:
 
 def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
               num_partitions: int = 32):
-    """`Dataset.join` with a deadlock-safe partition count.
+    """`Dataset.join` with a deadlock-safe partition count and a
+    sparse-left fallback.
 
-    NOTE (ray 2.49): chaining a second lazy join on a join output trips
-    acero field resolution; materialize between chained joins.
+    NOTES (ray 2.49):
+    - chaining a second lazy join on a join output trips acero field
+      resolution; materialize between chained joins;
+    - a shuffle partition that receives ZERO left rows makes the join's
+      aggregator build a schema-less table and acero fails with "No
+      match or multiple matches for key field reference". When the left
+      side is too sparse to cover every partition we instead broadcast
+      the left keys, semi-join the right down to the matching rows, and
+      merge driver-side — identical inner-join semantics, no shuffle.
     """
+    lk = on if isinstance(on, str) else on[0]
+    rk = (right_on if isinstance(right_on, str) else right_on[0]) if right_on else lk
+    nparts = num_join_partitions(num_partitions)
+
+    left = left.materialize()
+    n_left = left.count()
+    if join_type == "inner" and n_left < nparts * 8:
+        import numpy as np
+        import ray.data as rd
+
+        ldf = left.to_pandas()
+        if n_left == 0:
+            # empty inner join: left columns + right payload columns
+            rcols = [c for c in right.schema().names if c != rk]
+            r_empty = right.limit(0).to_pandas()[rcols]
+            out = ldf.join(r_empty)  # zero rows either way
+            return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+        keys = set(ldf[lk].tolist())
+        rdf = broadcast_semi_join(right, rk, keys).to_pandas()
+        if rk == lk:
+            out = ldf.merge(rdf, on=lk, how="inner")
+        else:
+            out = ldf.merge(rdf, left_on=lk, right_on=rk, how="inner").drop(columns=[rk])
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_join_partitions(num_partitions),
+        num_partitions=nparts,
         on=on if isinstance(on, tuple) else (on,),
         right_on=(right_on if isinstance(right_on, tuple) else (right_on,))
         if right_on is not None
@@ -144,3 +177,38 @@ def broadcast_semi_join(ds, key: str, key_set, *, keep: bool = True):
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def empty_typed(schema_cols: dict):
+    """An empty Dataset WITH a schema (empty datasets produced by filters
+    or groupbys otherwise lose their schema and break downstream joins)."""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({k: pa.array([], t) for k, t in schema_cols.items()}))
+
+
+def with_schema(ds, cols: dict):
+    """Force every block to an exact Arrow schema.
+
+    Sparse shuffles emit zero-row blocks WITHOUT columns ("RefBundle with
+    a different schema ... new schema: ." warnings); acero joins then
+    fail with "No match or multiple matches for key field". map_batches
+    can NOT fix this — it passes zero-row blocks through without calling
+    the UDF — so this canonicalizes at the block level: one small remote
+    task per block (scheduled data-local), dropping empty blocks.
+    """
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({k: pa.array([], t) for k, t in cols.items()})
+
+    @ray.remote
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return empty
+        return pa.table({k: t[k].cast(v) for k, v in cols.items()})
+
+    refs = [canon.remote(r) for r in ds.materialize().to_arrow_refs()]
+    if not refs:
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)

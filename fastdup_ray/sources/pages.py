@@ -179,9 +179,12 @@ def synthesize_pages(
         add(template + " " + body, "boilerplate", -1, 0.0)
 
     for _ in range(n_substr):
-        host = _make_text(rng, 300)
-        span_words = host.split()[40:140]  # >=256-byte verbatim span
-        fresh = _make_text(rng, 150)
+        # span aligned to the 40-token paragraph grid on BOTH sides so the
+        # canonical newline positions inside the span coincide and the
+        # shared byte run stays contiguous (>= 3 paragraphs ~ 700 bytes)
+        host = _make_text(rng, 320)
+        span_words = host.split()[40:160]  # paragraphs 2-4 of the host
+        fresh = _make_text(rng, 160)       # exactly 4 paragraphs
         add(host, "substring_host", next_cluster, 0.0)
         add(fresh + " " + " ".join(span_words) + " " + _make_text(rng, 50),
             "substring_dup", next_cluster, 0.0)

@@ -1,0 +1,202 @@
+"""Exact-substring duplicate detection via sampled rolling fingerprints
+(SURVEY.md G10 — the Lee et al. 2022 "Deduplicating Training Data Makes
+Language Models Better" use-case, re-expressed as shuffles instead of a
+monolithic suffix array).
+
+A doc pair "shares a run" when a verbatim byte span of length >=
+`substring_len` appears in both. Detection:
+
+1. ANCHORS: per doc, hash every `window`-byte sliding window
+   (Karp-Rabin, vectorized) and KEEP windows whose hash % sample_mod == 0
+   (content-defined sampling — the same bytes sample the same anchors in
+   every document, so any shared run of length >= window + sample gap
+   contains a shared anchor with probability
+   1 - (1 - 1/mod)^(run_len - window) ~ 1 for the defaults).
+2. BUCKET: groupby anchor fingerprint -> candidate pairs carrying the
+   anchor offsets on both sides.
+3. VERIFY + EXTEND: join texts back, check the anchored windows match
+   byte-for-byte, extend left/right to the maximal shared run, keep
+   pairs with run length >= substring_len.
+
+Output: (src, dst, match_len) — extra edges that can be unioned into the
+connected-components stage (G4) for substring-level dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fastdup_ray.config import DedupConfig
+from fastdup_ray.functions.hashing import rolling_shingle_hashes
+from fastdup_ray.relational.ops import hash_join, partitioned_groupby
+
+_WINDOW = 64
+
+
+class AnchorStage:
+    """docs batch -> (fp int64, doc_id, offset) sampled anchor rows."""
+
+    def __init__(self, sample_mod: int = 16, window: int = _WINDOW):
+        self.mod = np.uint32(sample_mod)
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps: list[np.ndarray] = []
+        docs: list[np.ndarray] = []
+        offs: list[np.ndarray] = []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            data = (t or "").encode("utf-8")
+            h = rolling_shingle_hashes(data, self.window)
+            if h.shape[0] == 0:
+                continue
+            sel = np.nonzero(h % self.mod == 0)[0]
+            if sel.shape[0] == 0:
+                continue
+            fps.append(h[sel].astype(np.int64))
+            docs.append(np.full(sel.shape[0], ids[i], dtype=np.int64))
+            offs.append(sel.astype(np.int64))
+        if not fps:
+            return pa.table(
+                {"fp": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "offset": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(fps), pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "offset": pa.array(np.concatenate(offs), pa.int64()),
+            }
+        )
+
+
+def _emit_anchor_pairs(max_bucket: int):
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        multi = df[df.duplicated("fp", keep=False)]
+        cols = {"src": [], "dst": [], "src_off": [], "dst_off": []}
+        if multi.empty:
+            return pd.DataFrame({k: np.empty(0, np.int64) for k in cols})
+        out_s, out_d, out_so, out_do = [], [], [], []
+        for _, g in multi.groupby("fp", sort=False):
+            # one anchor occurrence per doc is enough; cap bucket size
+            g = g.drop_duplicates("doc_id").head(max_bucket)
+            ids = g["doc_id"].to_numpy().astype(np.int64)
+            off = g["offset"].to_numpy().astype(np.int64)
+            m = ids.shape[0]
+            if m < 2:
+                continue
+            order = np.argsort(ids, kind="stable")
+            ids, off = ids[order], off[order]
+            iu = np.triu_indices(m, k=1)
+            out_s.append(ids[iu[0]])
+            out_d.append(ids[iu[1]])
+            out_so.append(off[iu[0]])
+            out_do.append(off[iu[1]])
+        if not out_s:
+            return pd.DataFrame({k: np.empty(0, np.int64) for k in cols})
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "src_off": np.concatenate(out_so),
+                "dst_off": np.concatenate(out_do),
+            }
+        )
+
+    return emit
+
+
+def _extend_match(a: bytes, b: bytes, ia: int, ib: int, window: int) -> int:
+    """Maximal shared run length around anchored windows a[ia:ia+w]==b[ib:ib+w]."""
+    lo = 0
+    while ia - lo - 1 >= 0 and ib - lo - 1 >= 0 and a[ia - lo - 1] == b[ib - lo - 1]:
+        lo += 1
+    hi = window
+    while ia + hi < len(a) and ib + hi < len(b) and a[ia + hi] == b[ib + hi]:
+        hi += 1
+    return lo + hi
+
+
+def substring_pairs(docs, config: DedupConfig | None = None):
+    """docs (doc_id, text[, is_valid]) -> (src, dst, match_len) pairs whose
+    maximal shared byte run >= cfg.substring_len."""
+    cfg = config or DedupConfig()
+    src_docs = docs
+    schema = src_docs.schema()
+    if schema is not None and "is_valid" in schema.names:
+        src_docs = src_docs.map_batches(
+            lambda b: b.filter(b["is_valid"]), batch_format="pyarrow"
+        )
+    anchors = src_docs.map_batches(
+        AnchorStage(cfg.substring_sample_mod), batch_format="pyarrow"
+    )
+    cand = partitioned_groupby(
+        anchors, "fp", _emit_anchor_pairs(cfg.max_bucket_pairs),
+        num_parts=cfg.num_partitions,
+    )
+
+    # keep ONE candidate anchor per (src,dst) — the verify extends to the
+    # maximal run around it; different anchors in the same shared run give
+    # the same answer
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["src", "dst"])
+
+    cand = partitioned_groupby(cand, ["src", "dst"], dedupe,
+                               num_parts=cfg.num_partitions).materialize()
+    if cand.count() == 0:
+        from fastdup_ray.relational.ops import empty_typed
+
+        return empty_typed(
+            {"src": pa.int64(), "dst": pa.int64(), "match_len": pa.int64()}
+        )
+
+    from fastdup_ray.relational.ops import with_schema
+
+    cand = with_schema(
+        cand,
+        {"src": pa.int64(), "dst": pa.int64(),
+         "src_off": pa.int64(), "dst_off": pa.int64()},
+    )
+    side = docs.select_columns(["doc_id", "text"])
+    j1 = hash_join(cand, side, on="src", right_on="doc_id",
+                   num_partitions=cfg.num_partitions).materialize()
+    j1 = with_schema(
+        j1,
+        {"src": pa.int64(), "dst": pa.int64(), "src_off": pa.int64(),
+         "dst_off": pa.int64(), "text": pa.string()},
+    ).materialize()
+    j2 = hash_join(
+        j1, side.rename_columns({"text": "text_r"}),
+        on="dst", right_on="doc_id", num_partitions=cfg.num_partitions,
+    )
+
+    min_len = cfg.substring_len
+
+    def verify(batch: pa.Table) -> pa.Table:
+        srcs = batch["src"].to_numpy(zero_copy_only=False)
+        dsts = batch["dst"].to_numpy(zero_copy_only=False)
+        so = batch["src_off"].to_numpy(zero_copy_only=False)
+        do = batch["dst_off"].to_numpy(zero_copy_only=False)
+        ta = batch["text"].to_pylist()
+        tb = batch["text_r"].to_pylist()
+        lens = np.zeros(len(srcs), dtype=np.int64)
+        for i in range(len(srcs)):
+            a = ta[i].encode("utf-8")
+            b = tb[i].encode("utf-8")
+            ia, ib = int(so[i]), int(do[i])
+            if a[ia : ia + _WINDOW] != b[ib : ib + _WINDOW]:
+                continue  # fingerprint collision
+            lens[i] = _extend_match(a, b, ia, ib, _WINDOW)
+        keep = lens >= min_len
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "src": pa.array(srcs[keep], pa.int64()),
+                "dst": pa.array(dsts[keep], pa.int64()),
+                "match_len": pa.array(lens[keep], pa.int64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")

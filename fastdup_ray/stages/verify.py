@@ -73,11 +73,26 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None):
     """
     cfg = config or DedupConfig()
     np_parts = cfg.num_partitions
+    from fastdup_ray.relational.ops import with_schema
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        from fastdup_ray.relational.ops import empty_typed
+
+        return empty_typed(
+            {"src": pa.int64(), "dst": pa.int64(), "distance": pa.float64()}
+        )
+    pairs = with_schema(pairs, {"src": pa.int64(), "dst": pa.int64()})
     if cfg.verify_mode == "signature":
         side = signatures.select_columns(["doc_id", "minhash"])
         joined = hash_join(
             pairs, side, on="src", right_on="doc_id", num_partitions=np_parts
         ).materialize()  # chained lazy joins trip acero field resolution in ray 2.49
+        joined = with_schema(
+            joined,
+            {"src": pa.int64(), "dst": pa.int64(),
+             "minhash": pa.list_(pa.uint32(), 128)},
+        ).materialize()
         joined = hash_join(
             joined, side.rename_columns({"minhash": "minhash_r"}),
             on="dst", right_on="doc_id", num_partitions=np_parts,
@@ -88,6 +103,10 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None):
         joined = hash_join(
             pairs, side, on="src", right_on="doc_id", num_partitions=np_parts
         ).materialize()  # see note above
+        joined = with_schema(
+            joined,
+            {"src": pa.int64(), "dst": pa.int64(), "text": pa.string()},
+        ).materialize()
         joined = hash_join(
             joined, side.rename_columns({"text": "text_r"}),
             on="dst", right_on="doc_id", num_partitions=np_parts,
