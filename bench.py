@@ -103,7 +103,13 @@ def run_scaling() -> None:
     lo, hi = 8, 32
     results = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # larger corpus for the scaling comparison: at the default size the
+        # run is fixed-overhead-bound and under-reports parallel speedup
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "120"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

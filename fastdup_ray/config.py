@@ -60,6 +60,12 @@ class DedupConfig:
     extract_concurrency: int = 4   # actor-pool size for the HTML extractor stage
     num_partitions: int = 32       # hash-join / shuffle partition count
     cc_max_rounds: int = 50        # safety bound on label-propagation rounds
+    # below this many edges, connected components finishes with a
+    # driver-side union-find instead of iterative shuffle rounds — the
+    # post-threshold edge set is a tiny fraction of the corpus, and each
+    # distributed round costs a join + two shuffles of fixed latency.
+    # Above the threshold (the 10^12-doc regime) the iterative path runs.
+    cc_driver_max_edges: int = 5_000_000
 
     def __post_init__(self) -> None:
         if self.num_bands * self.rows_per_band != self.num_perms:

@@ -41,7 +41,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min
 
 from fastdup_ray.config import DedupConfig
-from fastdup_ray.relational.ops import actor_pool_size, hash_join
+from fastdup_ray.relational.ops import hash_join
 from fastdup_ray.stages.components import component_info, connected_components
 from fastdup_ray.stages.extract import HtmlExtractStage
 from fastdup_ray.stages.lsh import candidate_pairs
@@ -83,7 +83,10 @@ class NearDupPipeline:
             if man and man.get("fingerprint") == fp and os.path.isdir(data_dir):
                 return rd.read_parquet(data_dir), fp
         t0 = time.monotonic()
-        ds = build()
+        # materialize first, then write the checkpoint FROM the object
+        # store and hand the in-memory dataset downstream — downstream
+        # stages start from memory instead of re-reading parquet
+        ds = build().materialize()
         tmp_dir = os.path.join(stage_dir, f"_tmp.{name}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir, exist_ok=True)
@@ -112,7 +115,7 @@ class NearDupPipeline:
         with open(man_path + ".tmp", "w") as fh:
             json.dump(manifest, fh, indent=1)
         os.replace(man_path + ".tmp", man_path)
-        return rd.read_parquet(data_dir), fp
+        return ds, fp
 
     def run(self, pages=None, *, pages_path: str | None = None,
             input_token: str | None = None, resume: bool = True,
@@ -137,12 +140,14 @@ class NearDupPipeline:
 
         docs, fp_docs = self._stage(
             "docs", [input_token],
+            # instance => stateless elastic tasks; parser construction is
+            # cheap, and a fixed-size actor pool only adds ramp-up latency
+            # and CPU reservations here (heavy-state stages keep the
+            # class/actor-pool form)
             lambda: pages.map_batches(
-                HtmlExtractStage,
+                HtmlExtractStage(cfg.min_text_len),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                concurrency=(1, actor_pool_size(cfg.extract_concurrency)),
-                fn_constructor_kwargs={"min_text_len": cfg.min_text_len},
             ),
             resume=resume,
         )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (list<float>).
+
+Two paths (the "Similarity search" extension in the build charter):
+
+- `brute_force_topk`: exact cosine top-k of every row against a small
+  broadcast query matrix — one numpy matmul per batch + per-query
+  top-k reduce. The baseline; linear in corpus size, embarrassingly
+  parallel (this is also what queries.q_ann_topk wraps with its SQL
+  oracle).
+- `ivf_topk`: IVF-style scale path. Train: sample vectors, run a few
+  seeded Lloyd iterations driver-side (centroid count ~ sqrt(n)), then
+  assign every row to its nearest centroid in a map_batches pass.
+  Query: probe only the `nprobe` nearest centroid buckets — the
+  shuffle-sized analog of an IVF index; recall < 1 by design, measured
+  against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from fastdup_ray.relational.ops import partitioned_groupby
+
+
+def _matrix(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, flat.reshape(len(ids), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds, query_ids, query_matrix, k: int = 10, *,
+                     embedding_col: str = "embedding"):
+    """Exact cosine top-k per query. query_matrix: (q, d) float; rows are
+    L2-normalized internally. Returns Dataset
+    (query_id, neighbor_id, cosine) with deterministic tie-break."""
+    import pandas as pd
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    ref = ray.put((qids, qn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids, m = _matrix(batch, embedding_col)
+        cos = _normalize(m) @ qm.T  # (n, q)
+        nq = qi.shape[0]
+        out_q = np.repeat(qi, ids.shape[0])
+        out_n = np.tile(ids, nq)
+        out_c = np.round(cos.T.ravel(), 5)
+        keep = out_q != out_n
+        # per-batch partial top-k: only k best per query leave the task
+        df = pd.DataFrame({"query_id": out_q[keep], "neighbor_id": out_n[keep],
+                           "cosine": out_c[keep]})
+        df = df.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(df):
+        df = df.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True])
+        return df.groupby("query_id", sort=False).head(k)
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return partitioned_groupby(scored, "query_id", final_topk, num_parts=16)
+
+
+def train_ivf_centroids(ds, n_centroids: int, *, embedding_col: str = "embedding",
+                        sample_rows: int = 20_000, iters: int = 5,
+                        seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (KMeans analog of the
+    reference's run_mode 5, __init__.py:2681-2801). Returns (c, d)."""
+    frac = 1.0
+    total = ds.count()
+    if total > sample_rows:
+        frac = sample_rows / total
+    sample = ds.random_sample(frac, seed=seed).take_all()
+    m = _normalize(np.stack([np.asarray(r[embedding_col], dtype=np.float64) for r in sample]))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign(ds, centroids: np.ndarray, *, embedding_col: str = "embedding"):
+    """Add a `cell` column: nearest-centroid id per row (map_batches pass)."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        ids, m = _matrix(batch, embedding_col)
+        cell = (_normalize(m) @ cent.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(assigned, centroids: np.ndarray, query_ids, query_matrix,
+             k: int = 10, nprobe: int = 4, *, embedding_col: str = "embedding"):
+    """Approximate top-k: per query, scan only rows whose `cell` is among
+    its nprobe nearest centroids."""
+    import pandas as pd
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    cent = np.asarray(centroids, dtype=np.float64)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    ref = ray.put((qids, qn, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, pr = ray.get(ref)
+        ids, m = _matrix(batch, embedding_col)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        mn = _normalize(m)
+        frames = []
+        for j in range(qi.shape[0]):
+            mask = np.isin(cells, pr[j])
+            mask &= ids != qi[j]
+            if not mask.any():
+                continue
+            cos = np.round(mn[mask] @ qm[j], 5)
+            df = pd.DataFrame(
+                {"query_id": qi[j], "neighbor_id": ids[mask], "cosine": cos}
+            )
+            df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+            frames.append(df)
+        if not frames:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    def final_topk(df):
+        df = df.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True])
+        return df.groupby("query_id", sort=False).head(k)
+
+    scored = assigned.map_batches(score, batch_format="pyarrow")
+    return partitioned_groupby(scored, "query_id", final_topk, num_parts=16)

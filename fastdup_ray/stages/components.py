@@ -59,9 +59,34 @@ def connected_components(edges, config: DedupConfig | None = None):
     reference where singleton components are dropped downstream via the
     count filter (fastdup_controller.py:440).
     """
+    import ray.data as rd
+
     cfg = config or DedupConfig()
     nparts = cfg.num_partitions
     sym = edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
+
+    # hybrid finalize: below cc_driver_max_edges the whole edge list fits
+    # on the driver (16 B/edge) and union-find beats O(diameter) shuffle
+    # rounds; the iterative path below is the at-scale route
+    n_edges = sym.count() // 2
+    if n_edges <= cfg.cc_driver_max_edges:
+        pairs = []
+        for b in sym.iter_batches(batch_size=1_000_000, batch_format="pyarrow"):
+            node = b["node"].to_numpy(zero_copy_only=False)
+            nbr = b["nbr"].to_numpy(zero_copy_only=False)
+            keep = node < nbr  # one direction suffices
+            pairs.extend(zip(node[keep].tolist(), nbr[keep].tolist()))
+        labels = union_find_oracle(pairs)
+        if not labels:
+            return rd.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+            )
+        nodes = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+        labs = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+        order = np.argsort(nodes)
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes[order]), "label": pa.array(labs[order])})
+        ).materialize()
 
     # initial labels: min(node, min neighbor) in one partitioned shuffle
     def init_agg(df: pd.DataFrame) -> pd.DataFrame:

@@ -30,7 +30,10 @@ def oracle():
     texts = pages["text"].to_pylist()
     urls = pages["url"].to_pylist()
     ids = id63(urls)
-    cfg = DedupConfig()
+    # cc_driver_max_edges=0 forces the DISTRIBUTED iterative CC path —
+    # the at-scale route this suite exists to validate (the driver
+    # union-find fallback is oracle-exact by construction)
+    cfg = DedupConfig(cc_driver_max_edges=0)
     valid = [
         i
         for i in range(len(texts))
