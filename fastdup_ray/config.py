@@ -40,8 +40,13 @@ class DedupConfig:
     min_text_len: int = 20         # chars; shorter docs -> is_valid=False, error_code="TOO_SHORT"
 
     # --- verification ---
-    verify_mode: str = "exact"     # "exact": true shingle Jaccard via joins back to text;
-                                   # "signature": estimate from the 128-perm signature (no join)
+    verify_mode: str = "exact"     # "exact": true shingle Jaccard; "signature": estimate
+                                   # from the 128-perm signature
+    # when the corpus' packed shingle sets fit under this many bytes, the
+    # verify stage broadcasts them once via ray.put (one zero-copy plasma
+    # read per node) and scores pairs with pure lookups — no payload
+    # shuffle. Above it, two hash joins ship the sets to the pairs.
+    verify_broadcast_max_bytes: int = 4_000_000_000
 
     # --- skew handling (hot LSH buckets; SURVEY.md §4 "Skew") ---
     max_bucket_pairs: int = 64     # buckets with <= this many docs emit all C(m,2) pairs;

@@ -170,9 +170,23 @@ class NearDupPipeline:
             resume=resume,
         )
 
+        shingle_sets = None
+        fp_shingles = "unused"
+        if cfg.verify_mode == "exact":
+            from fastdup_ray.stages.shingles import ShingleSetStage
+
+            shingle_sets, fp_shingles = self._stage(
+                "shingles", [fp_docs],
+                lambda: docs.map_batches(
+                    ShingleSetStage(cfg), batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                ),
+                resume=resume,
+            )
+
         scores, fp_scores = self._stage(
-            "pair_scores", [fp_pairs, fp_docs],
-            lambda: verify_pairs(pairs, sigs, docs, cfg),
+            "pair_scores", [fp_pairs, fp_docs, fp_shingles],
+            lambda: verify_pairs(pairs, sigs, docs, cfg, shingle_sets=shingle_sets),
             resume=resume,
         )
 

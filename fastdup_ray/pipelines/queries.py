@@ -509,6 +509,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- sessionize
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows (stream-shaped custom operator): per-user event
+    sessions split at >30-min inactivity gaps. Partition by user, sort
+    within partition, vectorized gap detection — the groupby-as-windowing
+    pattern for Ray Data's batch engine."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_ts = df.groupby("user_id", sort=False)["ts"].shift()
+        new_sess = (prev_ts.isna() | ((df["ts"] - prev_ts) > gap)).astype(np.int64)
+        df = df.assign(sess_no=new_sess.groupby(df["user_id"]).cumsum())
+        g = df.groupby(["user_id", "sess_no"], as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+        )
+        return g
+
+    return partitioned_groupby(
+        _t(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        "user_id", sessionize,
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM e
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ join + topk
 def q_customer_revenue_topk(sf_dir: str):
     """J1/O1 analog: orders x customer hash join, grouped revenue, top-10."""
@@ -673,6 +720,7 @@ def queries():
         "simhash_fingerprints": q_simhash_fingerprints,
         "ann_topk": q_ann_topk,
         "windowed_events": q_windowed_events,
+        "sessionize": q_sessionize,
         "customer_revenue_topk": q_customer_revenue_topk,
         "customers_without_orders": q_customers_without_orders,
         "pricing_summary": q_pricing_summary,
@@ -691,6 +739,7 @@ def oracle_sql():
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "ann_topk": SQL_ANN_TOPK,
         "windowed_events": SQL_WINDOWED_EVENTS,
+        "sessionize": SQL_SESSIONIZE,
         "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "pricing_summary": SQL_PRICING_SUMMARY,

@@ -212,3 +212,64 @@ def with_schema(ds, cols: dict):
     if not refs:
         return rd.from_arrow(empty)
     return rd.from_arrow_refs(refs)
+
+
+def cogroup_join(left, right, *, on: str, right_on: str, num_parts: int = 64):
+    """Inner hash join built on partitioned_groupby: both sides get the
+    same key-hash partition column, are schema-normalized (union of
+    columns, typed nulls for the missing side, plus a __side tag), and
+    every partition does ONE vectorized pandas merge.
+
+    Exists because ray 2.49's `Dataset.join` anti-scales on this
+    workload (more CPUs -> slower; measured 32s+ per join of 1.7M x
+    0.6M rows) and crashes on sparse partitions; this path reuses the
+    partitioned-groupby shuffle that measures ~3s for 8M rows.
+    The right key column is dropped from the output (Dataset.join
+    parity).
+    """
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with callers)
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = dict(zip(lschema.names, lschema.types))
+    rcols = dict(zip(rschema.names, rschema.types))
+    payload_r = {k: v for k, v in rcols.items() if k != right_on}
+    overlap = set(lcols) & set(payload_r)
+    if overlap:
+        raise ValueError(f"column collision in cogroup_join: {overlap}")
+    all_cols = {"__key": lcols.get(on, rcols.get(right_on))}
+    all_cols.update({k: v for k, v in lcols.items() if k != on} | payload_r)
+
+    def norm(key_col, keep_cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = {"__key": batch[key_col].cast(all_cols["__key"])}
+            for k, t in all_cols.items():
+                if k == "__key":
+                    continue
+                out[k] = (
+                    batch[k].cast(t) if k in keep_cols and k in batch.column_names
+                    else pa.nulls(n, t)
+                )
+            out["__side"] = pa.array(np.full(n, 0 if key_col == on else 1, np.int8))
+            return pa.table(out)
+
+        return fn
+
+    lnorm = left.map_batches(norm(on, set(lcols)), batch_format="pyarrow")
+    rnorm = right.map_batches(norm(right_on, set(rcols)), batch_format="pyarrow")
+    both = lnorm.union(rnorm)
+
+    l_payload = [k for k in lcols if k != on]
+    r_payload = list(payload_r)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df[df["__side"] == 0]
+        rp = df[df["__side"] == 1]
+        out = lp[["__key"] + l_payload].merge(
+            rp[["__key"] + r_payload], on="__key", how="inner"
+        )
+        return out.rename(columns={"__key": on})
+
+    return partitioned_groupby(both, "__key", merge, num_parts=num_parts)

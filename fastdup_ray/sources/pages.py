@@ -246,8 +246,11 @@ def pages_from_documents(documents: pa.Table, *, replicate: int = 1, seed: int =
                 out_texts.append(t)
             else:
                 urls.append(f"https://docs.example/rep{r}/{d:08d}.html")
-                if rng.random() < dup_frac:
-                    out_texts.append(_mutate_text(rng, t, 0.02))
+                roll = rng.random()
+                if roll < dup_frac / 2:
+                    out_texts.append(t)  # exact duplicate
+                elif roll < dup_frac:
+                    out_texts.append(_mutate_text(rng, t, 0.02))  # near-dup
                 else:
                     out_texts.append(_mutate_text(rng, t, 0.6))
             out_langs.append(langs[i])

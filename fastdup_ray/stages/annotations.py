@@ -1,0 +1,159 @@
+"""User-annotation reconciliation + label-aware report operators.
+
+The analog of the reference controller's annotation layer:
+`_expand_annot_df` (fastdup_controller.py:1110-1224: outer-merge user
+annotations with the engine's id mapping, set error codes for rows
+missing on either side) and `_add_annot_and_split` / label slicing /
+majority votes (fastdup_controller.py:937-1046, galleries.py:118-161,
+__init__.py:2490-2539).
+
+Annotations are a side table keyed by `url` with optional `label` and
+`split` columns. Reconciliation is a full outer join:
+
+    docs-only rows  -> error_code MISSING_ANNOTATION
+    annot-only rows -> error_code MISSING_DOC   (reference: MISSING_IMAGE)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fastdup_ray.relational.ops import hash_join, partitioned_groupby
+
+ERR_MISSING_ANNOTATION = "MISSING_ANNOTATION"
+ERR_MISSING_DOC = "MISSING_DOC"
+
+
+def expand_annotations(docs, annotations, *, num_partitions: int = 32):
+    """Full-outer reconciliation of docs (doc_id, url, ...) with a user
+    annotation Dataset (url, label[, split]) -> Dataset
+    (url, doc_id, label, split, annot_error).
+
+    J4 analog (fastdup_controller._expand_annot_df)."""
+    left = docs.select_columns(["doc_id", "url"])
+    annot_cols = [c for c in annotations.schema().names if c != "url"]
+    right = annotations.rename_columns({"url": "a_url"})
+    joined = hash_join(
+        left, right, on="url", right_on="a_url", join_type="full_outer",
+        num_partitions=num_partitions,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        has_doc = df["doc_id"].notna()
+        has_annot = df[annot_cols[0]].notna() if annot_cols else has_doc
+        err = np.where(
+            has_doc & ~has_annot, ERR_MISSING_ANNOTATION,
+            np.where(~has_doc, ERR_MISSING_DOC, ""),
+        )
+        out = {
+            "url": df["url"].astype(str),
+            "doc_id": df["doc_id"].fillna(-1).astype(np.int64),
+            "annot_error": err.astype(str),
+        }
+        for c in annot_cols:
+            out[c] = df[c].astype(object).where(df[c].notna(), None)
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def slice_by_label(ds, label_col: str, value, *, mode: str = "eq"):
+    """M15 slice_df analog: eq / contains / isin filters on a label column."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[label_col]
+        if mode == "eq":
+            mask = pc.equal(col, pa.scalar(value))
+        elif mode == "contains":
+            mask = pc.match_substring(col, value)
+        elif mode == "isin":
+            mask = pc.is_in(col, value_set=pa.array(list(value)))
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def find_top_components(components, k: int = 20, *, num_partitions: int = 32):
+    """O3 analog: largest components first -> (component_id, count), top k.
+
+    components: Dataset (doc_id, component_id)."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("component_id", as_index=False, sort=False).size()
+        return g.rename(columns={"size": "count"})
+
+    sized = partitioned_groupby(components, "component_id", counts,
+                                num_parts=num_partitions)
+    return sized.sort(["count", "component_id"], descending=[True, False]).limit(k)
+
+
+def component_label_vote(components, labeled_docs, *, num_partitions: int = 32,
+                         min_count: int = 1):
+    """A5 top_k_label majority vote (reference __init__.py:2490-2539):
+    per component, the most frequent label (ties -> lexicographically
+    smallest), its count and purity.
+
+    labeled_docs: Dataset (doc_id, label)."""
+    joined = hash_join(
+        components, labeled_docs.rename_columns({"doc_id": "ldoc"}),
+        on="doc_id", right_on="ldoc", num_partitions=num_partitions,
+    )
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, g in df.groupby("component_id", sort=False):
+            counts = g["label"].value_counts()
+            top = counts.max()
+            winners = sorted(counts[counts == top].index)
+            if top < min_count:
+                label = "unknown"
+            else:
+                label = winners[0]
+            rows.append((cid, label, int(top), top / len(g)))
+        return pd.DataFrame(
+            rows, columns=["component_id", "label", "votes", "purity"]
+        )
+
+    return partitioned_groupby(joined, "component_id", vote,
+                               num_parts=num_partitions)
+
+
+def sample_components(grouped, *, strategy: str = "first", k: int = 3, seed: int = 42):
+    """O5 component sampling (reference utils.py:455-473): from each
+    component's files_ids list take first-k / random-k / uniform-stride-k.
+
+    grouped: Dataset (component_id, files_ids, len)."""
+    rng_seed = seed
+
+    def sample(batch: pa.Table) -> pa.Table:
+        cids = batch["component_id"].to_pylist()
+        lists = batch["files_ids"].to_pylist()
+        out_c, out_ids = [], []
+        for cid, ids in zip(cids, lists):
+            ids = list(ids)
+            if strategy == "first":
+                pick = ids[:k]
+            elif strategy == "random":
+                rng = np.random.default_rng((rng_seed, int(cid) & 0x7FFFFFFF))
+                pick = list(rng.choice(ids, size=min(k, len(ids)), replace=False))
+            elif strategy == "uniform":
+                stride = max(1, len(ids) // k)
+                pick = ids[::stride][:k]
+            else:
+                raise ValueError(f"unknown strategy {strategy!r}")
+            out_c.append(cid)
+            out_ids.append(sorted(int(x) for x in pick))
+        return pa.table(
+            {
+                "component_id": pa.array(out_c, pa.int64()),
+                "sample_ids": pa.array(out_ids, pa.list_(pa.int64())),
+            }
+        )
+
+    return grouped.map_batches(sample, batch_format="pyarrow")

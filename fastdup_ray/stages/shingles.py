@@ -1,0 +1,61 @@
+"""Per-doc shingle-set table: (doc_id, shingles list<uint32> sorted unique).
+
+Computed ONCE per document and checkpointed; the exact-verify stage then
+joins these instead of raw text and does a pure sorted-array
+intersection per pair. Without this, hub documents (exact-dup cluster
+members appear in many candidate pairs) get re-shingled once per verify
+batch — measured at ~340us/pair vs ~30us/pair with precomputed sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fastdup_ray.config import DedupConfig
+from fastdup_ray.functions.hashing import segmented_shingle_hashes
+
+
+class ShingleSetStage:
+    """map_batches callable: docs batch -> shingle-set batch (valid docs only)."""
+
+    def __init__(self, config: DedupConfig | None = None):
+        self.cfg = config or DedupConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "is_valid" in batch.column_names:
+            batch = batch.filter(batch["is_valid"])
+        texts = batch["text"].to_pylist()
+        h, off = segmented_shingle_hashes(texts, self.cfg.shingle_size)
+        sets: list[np.ndarray] = []
+        keep = np.zeros(len(texts), dtype=bool)
+        for i in range(len(texts)):
+            s = np.unique(h[off[i] : off[i + 1]])
+            if s.size:
+                keep[i] = True
+                sets.append(s)
+        if not sets:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "shingles": pa.array([], pa.list_(pa.uint32()))}
+            )
+        values = np.concatenate(sets)
+        offsets = np.zeros(len(sets) + 1, dtype=np.int32)
+        np.cumsum([s.size for s in sets], out=offsets[1:])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(values, pa.uint32())
+                ),
+            }
+        )
+
+
+def list_column_arrays(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], values uint32[total]) from a list<uint32> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.uint32, copy=False)
+    return offsets, values

@@ -5,15 +5,18 @@ pair and writes `similarity.csv` (from,to,distance, RUN.md:43-55). Here
 `distance` is Jaccard similarity over char-k-gram shingles, via one of:
 
 - "signature": estimated from the 128-perm MinHash signatures (matching
-  fraction of rows). No access to text; two hash joins pairs<->signatures.
-- "exact": true shingle-set Jaccard, re-shingling both texts. Two hash
-  joins pairs<->docs(text). Costlier (ships text once per pair side) but
-  exact — the mode the >=0.99-recall oracle tests run, since a 128-perm
-  estimate has ~+-0.02 noise right at the 0.96 component threshold.
+  fraction of rows). Two hash joins pairs<->signatures (512 B payload).
+- "exact": true shingle-set Jaccard. Two hash joins pairs<->shingle_sets
+  (precomputed sorted uint32 sets, stages/shingles.py) + one sorted-array
+  intersection per pair — the mode the >=0.99-recall oracle tests run,
+  since a 128-perm estimate has ~+-0.02 noise right at the 0.96
+  component threshold. Precomputing the sets matters: verifying from raw
+  text re-shingles hub documents once per batch (~340us/pair measured vs
+  ~30us/pair with sets).
 
-Both modes are Ray `Dataset.join` hash joins partitioned on doc_id —
-the pair side is LSH-candidate-sized (<< corpus^2), so the joins are
-linear in candidates + corpus.
+Both joins are hash-partitioned on doc_id; the pair side is
+LSH-candidate-sized (<< corpus^2), so cost is linear in candidates +
+corpus.
 """
 
 from __future__ import annotations
@@ -22,19 +25,17 @@ import numpy as np
 import pyarrow as pa
 
 from fastdup_ray.config import DedupConfig
-from fastdup_ray.functions.minhash import exact_jaccard_pairs
-from fastdup_ray.relational.ops import hash_join
+from fastdup_ray.relational.ops import hash_join, with_schema
+from fastdup_ray.stages.shingles import ShingleSetStage, list_column_arrays
 from fastdup_ray.stages.signatures import signatures_to_matrix
 
 
 def _est_jaccard_batch(cfg: DedupConfig):
+    P = cfg.num_perms
+
     def fn(batch: pa.Table) -> pa.Table:
-        _, sig_a = signatures_to_matrix(
-            pa.table({"doc_id": batch["src"], "minhash": batch["minhash"]})
-        )
-        _, sig_b = signatures_to_matrix(
-            pa.table({"doc_id": batch["dst"], "minhash": batch["minhash_r"]})
-        )
+        sig_a = _decode_bin(batch["mh_bin"], np.uint32).reshape(-1, P)
+        sig_b = _decode_bin(batch["mh_bin_r"], np.uint32).reshape(-1, P)
         dist = (sig_a == sig_b).mean(axis=1)
         return pa.table(
             {
@@ -47,13 +48,43 @@ def _est_jaccard_batch(cfg: DedupConfig):
     return fn
 
 
-def _exact_jaccard_batch(cfg: DedupConfig):
-    k = cfg.shingle_size
+def _decode_bin(col, dtype) -> np.ndarray:
+    """Concatenated values of a binary column as one numpy array."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.to_pylist()
+    return (
+        np.frombuffer(b"".join(bufs), dtype=dtype)
+        if bufs
+        else np.empty(0, dtype=dtype)
+    )
 
+
+def _bin_offsets(col) -> np.ndarray:
+    """Element offsets (in dtype units of 4 bytes) of a binary column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = np.asarray([len(x) // 4 for x in col.to_pylist()], dtype=np.int64)
+    off = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    return off
+
+
+def _exact_jaccard_batch():
     def fn(batch: pa.Table) -> pa.Table:
-        dist = exact_jaccard_pairs(
-            batch["text"].to_pylist(), batch["text_r"].to_pylist(), k
-        )
+        val_a = _decode_bin(batch["sh_bin"], np.uint32)
+        off_a = _bin_offsets(batch["sh_bin"])
+        val_b = _decode_bin(batch["sh_bin_r"], np.uint32)
+        off_b = _bin_offsets(batch["sh_bin_r"])
+        n = batch.num_rows
+        dist = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            sa = val_a[off_a[i] : off_a[i + 1]]
+            sb = val_b[off_b[i] : off_b[i + 1]]
+            if sa.size == 0 and sb.size == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            dist[i] = inter / (sa.size + sb.size - inter)
         return pa.table(
             {
                 "src": batch["src"],
@@ -65,15 +96,104 @@ def _exact_jaccard_batch(cfg: DedupConfig):
     return fn
 
 
-def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None):
+class _SetIndex:
+    """Broadcastable (doc_id -> uint32-set) index: flat numpy arrays,
+    zero-copy-readable from the object store. Values stay in ingest
+    order; lookups go sorted-ids -> permutation -> original offsets
+    (reordering 10^8 values costs more than one extra indirection)."""
+
+    def __init__(self, ids_sorted: np.ndarray, perm: np.ndarray,
+                 offsets: np.ndarray, values: np.ndarray):
+        self.ids = ids_sorted
+        self.perm = perm
+        self.offsets = offsets
+        self.values = values
+
+    def lookup(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(start, end) value-offsets per requested doc (end=start if absent)."""
+        if self.ids.shape[0] == 0:
+            z = np.zeros(doc_ids.shape[0], dtype=np.int64)
+            return z, z
+        pos = np.searchsorted(self.ids, doc_ids)
+        pos = np.clip(pos, 0, self.ids.shape[0] - 1)
+        found = self.ids[pos] == doc_ids
+        row = self.perm[pos]
+        start = np.where(found, self.offsets[row], 0)
+        end = np.where(found, self.offsets[row + 1], 0)
+        return start, end
+
+
+def _build_set_index(packed, bin_col: str) -> _SetIndex:
+    """Collect a (doc_id, <binary sets>) Dataset into a _SetIndex."""
+    ids_parts, blob_parts, len_parts = [], [], []
+    for b in packed.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids_parts.append(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        col = b[bin_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.to_pylist()
+        blob_parts.append(b"".join(bufs))
+        len_parts.append(np.asarray([len(x) // 4 for x in bufs], dtype=np.int64))
+    if not ids_parts:
+        return _SetIndex(np.empty(0, np.int64), np.empty(0, np.int64),
+                         np.zeros(1, np.int64), np.empty(0, np.uint32))
+    ids = np.concatenate(ids_parts)
+    lens = np.concatenate(len_parts)
+    values = np.frombuffer(b"".join(blob_parts), dtype=np.uint32)
+    order = np.argsort(ids, kind="stable")
+    off_orig = np.zeros(ids.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=off_orig[1:])
+    return _SetIndex(ids[order], order.astype(np.int64), off_orig, values)
+
+
+def _broadcast_verify(pairs, index_ref, *, is_signature: bool, num_perms: int):
+    """Score pairs against a ray.put _SetIndex — no payload shuffle."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx: _SetIndex = ray.get(index_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa, ea = idx.lookup(src)
+        sb, eb = idx.lookup(dst)
+        n = src.shape[0]
+        dist = np.zeros(n, dtype=np.float64)
+        vals = idx.values
+        if is_signature:
+            for i in range(n):
+                if ea[i] - sa[i] == num_perms and eb[i] - sb[i] == num_perms:
+                    dist[i] = (vals[sa[i] : ea[i]] == vals[sb[i] : eb[i]]).mean()
+        else:
+            for i in range(n):
+                a = vals[sa[i] : ea[i]]
+                b = vals[sb[i] : eb[i]]
+                if a.size == 0 and b.size == 0:
+                    continue
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                dist[i] = inter / (a.size + b.size - inter)
+        return pa.table(
+            {
+                "src": batch["src"],
+                "dst": batch["dst"],
+                "distance": pa.array(dist, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
+                 shingle_sets=None):
     """Attach `distance` to each candidate pair.
 
     pairs: Dataset (src, dst); signatures: Dataset (doc_id, minhash, ...);
-    docs: Dataset with (doc_id, text) — only consulted in exact mode.
+    docs: Dataset with (doc_id, text) — used to build shingle sets in
+    exact mode when `shingle_sets` (doc_id, shingles) isn't supplied.
     """
+    import ray
+
     cfg = config or DedupConfig()
     np_parts = cfg.num_partitions
-    from fastdup_ray.relational.ops import with_schema
 
     pairs = pairs.materialize()
     if pairs.count() == 0:
@@ -83,32 +203,81 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None):
             {"src": pa.int64(), "dst": pa.int64(), "distance": pa.float64()}
         )
     pairs = with_schema(pairs, {"src": pa.int64(), "dst": pa.int64()})
+
+    # ---- broadcast path: payload table fits in the object store ----
     if cfg.verify_mode == "signature":
-        side = signatures.select_columns(["doc_id", "minhash"])
+        est_bytes = signatures.count() * cfg.num_perms * 4
+        if est_bytes <= cfg.verify_broadcast_max_bytes:
+            packed = signatures.select_columns(["doc_id", "minhash"]).map_batches(
+                _pack_minhash, batch_format="pyarrow"
+            )
+            ref = ray.put(_build_set_index(packed, "mh_bin"))
+            return _broadcast_verify(pairs, ref, is_signature=True,
+                                     num_perms=cfg.num_perms)
+    else:
+        if shingle_sets is None:
+            shingle_sets = docs.map_batches(
+                ShingleSetStage(cfg), batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            ).materialize()
+        n_sh = shingle_sets.count()
+        # rough payload estimate: avg set size x 4 bytes; sample 1k rows
+        sample = shingle_sets.limit(1000).take_all()
+        avg = (
+            float(np.mean([len(r["shingles"]) for r in sample])) if sample else 0.0
+        )
+        if n_sh * avg * 4 <= cfg.verify_broadcast_max_bytes:
+            packed = shingle_sets.map_batches(_pack_shingles, batch_format="pyarrow")
+            ref = ray.put(_build_set_index(packed, "sh_bin"))
+            return _broadcast_verify(pairs, ref, is_signature=False,
+                                     num_perms=cfg.num_perms)
+
+    # acero rejects list-typed join payloads ("Data type list<uint32> is
+    # not supported in join non-key field"): ship sets/signatures as
+    # BINARY blobs and np.frombuffer them back in the verify kernel
+    if cfg.verify_mode == "signature":
+        side = signatures.select_columns(["doc_id", "minhash"]).map_batches(
+            _pack_minhash, batch_format="pyarrow"
+        ).materialize()
         joined = hash_join(
             pairs, side, on="src", right_on="doc_id", num_partitions=np_parts
         ).materialize()  # chained lazy joins trip acero field resolution in ray 2.49
         joined = with_schema(
             joined,
-            {"src": pa.int64(), "dst": pa.int64(),
-             "minhash": pa.list_(pa.uint32(), 128)},
+            {"src": pa.int64(), "dst": pa.int64(), "mh_bin": pa.binary()},
         ).materialize()
         joined = hash_join(
-            joined, side.rename_columns({"minhash": "minhash_r"}),
+            joined, side.rename_columns({"mh_bin": "mh_bin_r"}),
             on="dst", right_on="doc_id", num_partitions=np_parts,
         )
         return joined.map_batches(_est_jaccard_batch(cfg), batch_format="pyarrow")
-    else:
-        side = docs.select_columns(["doc_id", "text"])
-        joined = hash_join(
-            pairs, side, on="src", right_on="doc_id", num_partitions=np_parts
-        ).materialize()  # see note above
-        joined = with_schema(
-            joined,
-            {"src": pa.int64(), "dst": pa.int64(), "text": pa.string()},
+
+    if shingle_sets is None:
+        shingle_sets = docs.map_batches(
+            ShingleSetStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
         ).materialize()
-        joined = hash_join(
-            joined, side.rename_columns({"text": "text_r"}),
-            on="dst", right_on="doc_id", num_partitions=np_parts,
-        )
-        return joined.map_batches(_exact_jaccard_batch(cfg), batch_format="pyarrow")
+    packed = shingle_sets.map_batches(_pack_shingles, batch_format="pyarrow").materialize()
+    joined = hash_join(
+        pairs, packed, on="src", right_on="doc_id", num_partitions=np_parts
+    ).materialize()  # see note above
+    joined = with_schema(
+        joined,
+        {"src": pa.int64(), "dst": pa.int64(), "sh_bin": pa.binary()},
+    ).materialize()
+    joined = hash_join(
+        joined, packed.rename_columns({"sh_bin": "sh_bin_r"}),
+        on="dst", right_on="doc_id", num_partitions=np_parts,
+    )
+    return joined.map_batches(_exact_jaccard_batch(), batch_format="pyarrow")
+
+
+def _pack_shingles(batch: pa.Table) -> pa.Table:
+    off, val = list_column_arrays(batch["shingles"])
+    blobs = [val[off[i] : off[i + 1]].tobytes() for i in range(batch.num_rows)]
+    return pa.table({"doc_id": batch["doc_id"], "sh_bin": pa.array(blobs, pa.binary())})
+
+
+def _pack_minhash(batch: pa.Table) -> pa.Table:
+    _, sig = signatures_to_matrix(batch)
+    blobs = [sig[i].tobytes() for i in range(sig.shape[0])]
+    return pa.table({"doc_id": batch["doc_id"], "mh_bin": pa.array(blobs, pa.binary())})
