@@ -41,32 +41,43 @@ def run_bench() -> dict:
             ignore_reinit_error=True, logging_level="ERROR",
         )
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-
-    import pyarrow.parquet as pq
+    # push-based sort shuffle: 2.7x faster wide shuffles at 32 cpus
+    # (14.1s vs 37.4s on the 13.9M-pair distinct); one config for all runs
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     import ray.data as rd
 
     from fastdup_ray.config import DedupConfig
     from fastdup_ray.pipelines.neardup import NearDupPipeline
     from fastdup_ray.pipelines.queries import queries as query_catalog
-    from fastdup_ray.sources.pages import pages_from_documents
+    from fastdup_ray.sources.pages import replicate_documents_ds
 
     # ---- headline: e2e dedup over the derived pages corpus ----
-    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet")
-    pages = pages_from_documents(docs_tbl, replicate=replicate, seed=42)
-    n_docs = pages.num_rows
+    # corpus synthesized Ray-parallel (order-free per-row seeding) and
+    # cached to parquet, shared by the 8- and 32-cpu scaling runs; the
+    # timed section starts from a parquet read like a real job would
+    sf_tag = sf_dir.strip("/").replace("/", "_")
+    corpus_dir = f"/tmp/fastdup_ray_corpus_{sf_tag}_r{replicate}"
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        pages_gen = replicate_documents_ds(
+            f"{sf_dir}/documents.parquet", replicate=replicate, seed=42
+        )
+        pages_gen.write_parquet(corpus_dir)
+        open(os.path.join(corpus_dir, "_DONE"), "w").close()
     work_dir = f"/tmp/fastdup_ray_bench_{ncpu}"
     shutil.rmtree(work_dir, ignore_errors=True)
     cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu)
     pipe = NearDupPipeline(cfg, work_dir=work_dir)
 
-    pages_ds = rd.from_arrow(pages).repartition(max(8, ncpu * 2)).materialize()
     t0 = time.monotonic()
-    res = pipe.run(pages_ds, input_token=f"bench-{ncpu}", resume=False)
+    res = pipe.run(pages_path=corpus_dir, input_token=f"bench-{ncpu}", resume=False)
     n_comp = res.connected_components().count()  # force the full chain
+    n_docs = res.docs().count()
     headline = time.monotonic() - t0
 
     # ---- query suite (skip the O(sum df^2) ngram oracle query at bench
@@ -108,7 +119,7 @@ def run_scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "120"),
+            BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "400"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

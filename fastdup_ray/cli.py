@@ -46,8 +46,11 @@ def main(argv=None) -> int:
             ignore_reinit_error=True, logging_level="ERROR",
         )
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     from fastdup_ray.config import DedupConfig
     from fastdup_ray.pipelines.neardup import NearDupPipeline

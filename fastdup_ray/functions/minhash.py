@@ -41,6 +41,12 @@ class MinHasher:
         self.num_perms = num_perms
         self.a, self.b = make_permutations(num_perms, seed)
 
+    # per-chunk shingle budget: 32k shingles x 8 B stays L2-resident, so
+    # the 128 permutation passes re-read cache instead of DRAM (the naive
+    # whole-batch loop streams the full array per permutation and goes
+    # memory-bandwidth-bound with many concurrent workers)
+    _CHUNK_SHINGLES = 32_768
+
     def signatures(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """Returns (sig: uint32[n, num_perms], n_shingles: int64[n]).
 
@@ -54,13 +60,32 @@ class MinHasher:
         sig = np.full((n, self.num_perms), _EMPTY_SENTINEL, dtype=np.uint32)
         if hashes.shape[0] == 0:
             return sig, n_shingles
-        nonempty = n_shingles > 0
-        # reduceat needs strictly valid start indices; restrict to non-empty docs
-        starts = offsets[:-1][nonempty]
         h64 = hashes.astype(np.uint64)
-        for p in range(self.num_perms):
-            vals = ((self.a[p] * h64 + self.b[p]) >> np.uint64(32)).astype(np.uint32)
-            sig[nonempty, p] = np.minimum.reduceat(vals, starts)
+        tmp = np.empty(min(self._CHUNK_SHINGLES * 2, h64.shape[0]), dtype=np.uint64)
+        lo_doc = 0
+        while lo_doc < n:
+            # grow the doc range until the shingle budget is hit (always
+            # advancing by at least one doc, so huge docs still process)
+            hi_doc = lo_doc + 1
+            while (
+                hi_doc < n
+                and offsets[hi_doc + 1] - offsets[lo_doc] <= self._CHUNK_SHINGLES
+            ):
+                hi_doc += 1
+            seg = h64[offsets[lo_doc] : offsets[hi_doc]]
+            if seg.shape[0]:
+                rel = offsets[lo_doc : hi_doc + 1] - offsets[lo_doc]
+                docs_ne = np.nonzero(np.diff(rel) > 0)[0]
+                starts = rel[:-1][docs_ne]
+                buf = tmp[: seg.shape[0]]
+                for p in range(self.num_perms):
+                    np.multiply(seg, self.a[p], out=buf)
+                    np.add(buf, self.b[p], out=buf)
+                    np.right_shift(buf, np.uint64(32), out=buf)
+                    sig[lo_doc + docs_ne, p] = np.minimum.reduceat(
+                        buf.astype(np.uint32), starts
+                    )
+            lo_doc = hi_doc
         return sig, n_shingles
 
 

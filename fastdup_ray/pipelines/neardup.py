@@ -232,6 +232,15 @@ class NearDupResult:
     def pair_scores(self):
         return self._scores
 
+    def doc_stats(self):
+        """Per-doc text statistics — the img_stats() analog
+        (reference fastdup_controller.py:384-408, atrain_stats.csv)."""
+        from fastdup_ray.stages.stats import TextStatsStage
+
+        return self._docs.map_batches(
+            TextStatsStage(), batch_format="pyarrow", batch_size=self.cfg.batch_size
+        )
+
     # reference-parity accessors ----------------------------------------
     def similarity(self, threshold: float | None = None):
         """Edges (src, dst, distance) with distance >= threshold, most

@@ -379,6 +379,57 @@ def q_minhash_components(sf_dir: str, threshold: float = 0.9):
     return labels.rename_columns({"node": "doc_id", "label": "component_id"})
 
 
+def q_simhash_near_dup_pairs(sf_dir: str):
+    """SimHash near-dup path (rows-only: hamming bucketing is hash-defined):
+    documents -> 64-bit fingerprints -> quarter buckets -> exact-hamming
+    verified pairs (hamming <= 3)."""
+    from fastdup_ray.stages.signatures import SignStage
+    from fastdup_ray.stages.simhash_pairs import simhash_candidate_pairs
+
+    cfg = DedupConfig()
+    sigs = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(SignStage(cfg), batch_format="pyarrow")
+        .materialize()
+    )
+    return simhash_candidate_pairs(sigs, cfg)
+
+
+def q_substring_dup_pairs(sf_dir: str):
+    """Exact-substring dedup (rows-only): fingerprint-anchored pairs whose
+    maximal shared byte run >= 128 (shorter than the web default — the
+    documents fixtures are small)."""
+    from fastdup_ray.stages.substring import substring_pairs
+
+    cfg = DedupConfig(substring_len=128)
+    return substring_pairs(_t(sf_dir, "documents", ["doc_id", "text"]), cfg)
+
+
+def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """IVF approximate ANN (rows-only; recall vs the exact path is asserted
+    in tests): seeded centroids, cell assignment, nprobe probing."""
+    from fastdup_ray.stages.ann import ivf_assign, ivf_topk, train_ivf_centroids
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    rows = sorted(
+        (r for r in ds.take_all() if r["vec_id"] < n_queries), key=lambda r: r["vec_id"]
+    )
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cent = train_ivf_centroids(ds, n_centroids=16, seed=42)
+    assigned = ivf_assign(ds, cent).materialize()
+    return ivf_topk(assigned, cent, qids, qm, k=k, nprobe=6)
+
+
+def q_text_quality(sf_dir: str):
+    """Language-ID + quality scoring (rows-only: heuristic-defined)."""
+    stats = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TextStatsStage(), batch_format="pyarrow", batch_size=2048
+    )
+    return stats.select_columns(["doc_id", "lang_pred", "lang_score",
+                                 "stopword_ratio", "quality"])
+
+
 def q_simhash_fingerprints(sf_dir: str):
     """M6/M2 analog: 64-bit SimHash per doc (deterministic; rows-only)."""
     from fastdup_ray.functions.simhash import simhash64
@@ -718,6 +769,10 @@ def queries():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_components": q_minhash_components,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,

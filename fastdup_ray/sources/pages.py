@@ -225,6 +225,63 @@ def synthesize_pages(
     return pages, truth
 
 
+def replicate_documents_ds(documents_path: str, *, replicate: int, seed: int = 42,
+                           dup_frac: float = 0.2):
+    """Ray-parallel, order-free version of `pages_from_documents`: every
+    output row is a pure function of (doc_id, replica, seed), so the
+    corpus is deterministic regardless of partitioning or parallelism.
+    Returns a Dataset of the input_hint pages schema."""
+    import ray.data as rd
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.column_names
+            else ["en"] * len(texts)
+        )
+        urls, out_texts, out_langs, ts = [], [], [], []
+        for i in range(len(texts)):
+            d = int(ids[i])
+            for r in range(replicate):
+                rng = np.random.default_rng((seed, d & 0x7FFFFFFF, r))
+                if r == 0:
+                    urls.append(f"https://docs.example/src/{d:08d}.html")
+                    out_texts.append(texts[i])
+                else:
+                    urls.append(f"https://docs.example/rep{r}/{d:08d}.html")
+                    roll = rng.random()
+                    if roll < dup_frac / 2:
+                        out_texts.append(texts[i])
+                    elif roll < dup_frac:
+                        out_texts.append(_mutate_text(rng, texts[i], 0.02))
+                    else:
+                        out_texts.append(_mutate_text(rng, texts[i], 0.6))
+                out_langs.append(langs[i])
+                ts.append(_EPOCH + timedelta(minutes=int((d * 131 + r * 137) % 100000)))
+        htmls = [
+            render_html(out_texts[j], f"doc {j}", f"site{j % 97:04d}")
+            for j in range(len(urls))
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array([canonicalize_text(t) for t in out_texts], pa.string()),
+                "lang": pa.array(out_langs, pa.string()),
+            }
+        )
+
+    base = rd.read_parquet(documents_path)
+    n = base.count()
+    blocks = max(16, (n * replicate) // 20_000)
+    return base.repartition(min(blocks, max(1, n // 4))).map_batches(
+        expand, batch_format="pyarrow", batch_size=32
+    )
+
+
 def pages_from_documents(documents: pa.Table, *, replicate: int = 1, seed: int = 42,
                          dup_frac: float = 0.2) -> pa.Table:
     """Deterministically derive a `pages` table (input_hint shape) from the

@@ -55,9 +55,74 @@ def make_emit_partition(max_bucket_pairs: int):
                 dsts.append(ids[1:])
         if not srcs:
             return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        return pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        out = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        # partial dedup before the global (src,dst) distinct: the same pair
+        # fires in up to num_bands buckets, many land in one partition
+        return out.drop_duplicates()
 
     return emit
+
+
+def make_emit_cross_partition(max_bucket_pairs: int):
+    """Cross-corpus pair emitter (G7 train/test mode, reference RUN.md:188-191,
+    __init__.py:594-597): rows carry a `side` column (0=query corpus,
+    1=index corpus); only side-0 x side-1 pairs are emitted, as
+    (src=side0 doc, dst=side1 doc)."""
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        multi = df[df.duplicated("bucket", keep=False)]
+        if multi.empty:
+            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        for _, g in multi.groupby("bucket", sort=False):
+            a = np.unique(g.loc[g["side"] == 0, "doc_id"].to_numpy().astype(np.int64))
+            b = np.unique(g.loc[g["side"] == 1, "doc_id"].to_numpy().astype(np.int64))
+            if a.size == 0 or b.size == 0:
+                continue
+            if a.size * b.size > max_bucket_pairs * max_bucket_pairs:
+                # hot cross bucket: each side-0 doc pairs with the min side-1 doc
+                srcs.append(a)
+                dsts.append(np.full(a.size, b[0], dtype=np.int64))
+            else:
+                srcs.append(np.repeat(a, b.size))
+                dsts.append(np.tile(b, a.size))
+        if not srcs:
+            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
+        out = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        # partial dedup before the global (src,dst) distinct: the same pair
+        # fires in up to num_bands buckets, many land in one partition
+        return out.drop_duplicates()
+
+    return emit
+
+
+def cross_candidate_pairs(band_rows_query, band_rows_index,
+                          config: DedupConfig | None = None):
+    """Candidates BETWEEN two corpora only (no intra-corpus pairs):
+    the G7 train/test-similarity mode. Inputs are BandStage outputs."""
+    import pyarrow as pa
+
+    from fastdup_ray.relational.ops import distinct
+
+    cfg = config or DedupConfig()
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8))
+            )
+
+        return fn
+
+    both = band_rows_query.map_batches(tag(0), batch_format="pyarrow").union(
+        band_rows_index.map_batches(tag(1), batch_format="pyarrow")
+    )
+    pairs = partitioned_groupby(
+        both, "bucket", make_emit_cross_partition(cfg.max_bucket_pairs),
+        num_parts=cfg.num_partitions,
+    )
+    return distinct(pairs, ["src", "dst"], num_parts=cfg.num_partitions)
 
 
 def candidate_pairs(band_rows, config: DedupConfig | None = None):

@@ -124,16 +124,34 @@ class _SetIndex:
 
 
 def _build_set_index(packed, bin_col: str) -> _SetIndex:
-    """Collect a (doc_id, <binary sets>) Dataset into a _SetIndex."""
-    ids_parts, blob_parts, len_parts = [], [], []
-    for b in packed.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids_parts.append(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    """Collect a (doc_id, <binary sets>) Dataset into a _SetIndex.
+
+    The per-block parsing (python bytes -> flat blobs) runs as parallel
+    map_batches tasks emitting one pre-flattened row per block; the
+    driver only does numpy concatenation + one argsort (the serial
+    driver-side loop was ~30 s at 2M docs)."""
+
+    def flatten_block(b: pa.Table) -> pa.Table:
         col = b[bin_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         bufs = col.to_pylist()
-        blob_parts.append(b"".join(bufs))
-        len_parts.append(np.asarray([len(x) // 4 for x in bufs], dtype=np.int64))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.asarray([len(x) // 4 for x in bufs], dtype=np.int64)
+        return pa.table(
+            {
+                "ids_bin": pa.array([ids.tobytes()], pa.large_binary()),
+                "lens_bin": pa.array([lens.tobytes()], pa.large_binary()),
+                "values_bin": pa.array([b"".join(bufs)], pa.large_binary()),
+            }
+        )
+
+    ids_parts, blob_parts, len_parts = [], [], []
+    flat = packed.map_batches(flatten_block, batch_size=None, batch_format="pyarrow")
+    for b in flat.iter_batches(batch_size=1, batch_format="pyarrow"):
+        ids_parts.append(np.frombuffer(b["ids_bin"][0].as_py(), dtype=np.int64))
+        len_parts.append(np.frombuffer(b["lens_bin"][0].as_py(), dtype=np.int64))
+        blob_parts.append(b["values_bin"][0].as_py())
     if not ids_parts:
         return _SetIndex(np.empty(0, np.int64), np.empty(0, np.int64),
                          np.zeros(1, np.int64), np.empty(0, np.uint32))
