@@ -340,29 +340,60 @@ class NearDupResult:
             self._scores.sort("distance").limit(num_rows)
         )
 
-    def keep_table(self):
-        """Per-doc keep/drop decision: within each component keep the doc
-        with min (warc_ts, url); everything else drops — the D4
-        `delete_components(how='one')` keep-first policy
-        (reference __init__.py:1629-1677) with a deterministic canonical
-        choice instead of list order."""
+    def keep_table(self, policy: str = "first", labels=None):
+        """Per-doc keep/drop decision within each component.
+
+        policy="first": keep the doc with min (warc_ts, url) — the D4
+        `delete_components(how='one')` keep-first policy (reference
+        __init__.py:1629-1677) with a deterministic canonical choice
+        instead of list order.
+        policy="none": drop every clustered doc (`how='all'`).
+        policy="majority": D5 label-majority variant (reference
+        __init__.py:1682-1736) — keep the earliest doc carrying the
+        component's majority label; a component with no majority
+        (all labels tied at count 1 with >1 distinct) drops entirely.
+        `labels`: Dataset (doc_id, label), required for "majority".
+        """
         import pandas as pd
 
+        if policy not in ("first", "none", "majority"):
+            raise ValueError(f"unknown keep policy {policy!r}")
         side = self._docs.select_columns(["doc_id", "url", "warc_ts"])
         labeled = hash_join(
             self.connected_components(), side, on="doc_id", right_on="doc_id",
             num_partitions=self.cfg.num_partitions,
         )
+        if policy == "majority":
+            if labels is None:
+                raise ValueError("policy='majority' needs a labels Dataset")
+            labeled = hash_join(
+                labeled.materialize(),
+                labels.rename_columns({"doc_id": "ldoc"}),
+                on="doc_id", right_on="ldoc",
+                num_partitions=self.cfg.num_partitions,
+            )
 
         from fastdup_ray.relational.ops import partitioned_groupby
 
         def decide(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(["component_id", "warc_ts", "url"], kind="mergesort")
-            keep = df.groupby("component_id", sort=False).cumcount() == 0
+            df = df.sort_values(
+                ["component_id", "warc_ts", "url"], kind="mergesort"
+            ).reset_index(drop=True)
+            if policy == "none":
+                keep = np.zeros(len(df), dtype=bool)
+            elif policy == "majority":
+                keep = np.zeros(len(df), dtype=bool)
+                for _, g in df.groupby("component_id", sort=False):
+                    counts = g["label"].value_counts()
+                    if counts.iloc[0] > 1 or len(counts) == 1:
+                        winners = sorted(counts[counts == counts.max()].index)
+                        keep[g[g["label"] == winners[0]].index[0]] = True
+            else:
+                keep = (df.groupby("component_id", sort=False).cumcount() == 0).to_numpy()
             return pd.DataFrame(
                 {
                     "doc_id": df["doc_id"].to_numpy(),
-                    "keep": keep.to_numpy(),
+                    "keep": keep,
                     "component_id": df["component_id"].to_numpy(),
                 }
             )
