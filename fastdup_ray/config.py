@@ -49,9 +49,12 @@ class DedupConfig:
     verify_broadcast_max_bytes: int = 4_000_000_000
 
     # --- skew handling (hot LSH buckets; SURVEY.md §4 "Skew") ---
-    max_bucket_pairs: int = 64     # buckets with <= this many docs emit all C(m,2) pairs;
+    max_bucket_pairs: int = 32     # buckets with <= this many docs emit all C(m,2) pairs;
                                    # larger buckets emit a star to the min doc_id (keeps the
-                                   # bucket connected with diameter 2, caps emission at m-1)
+                                   # bucket connected with diameter 2, caps emission at m-1).
+                                   # Components are unaffected; the similarity() edge list
+                                   # under-reports intra-mega-cluster pairs (still far richer
+                                   # than the reference's k=2 NN edges, RUN.md:43-55)
 
     # --- exact-substring stage (fingerprint-based; SURVEY.md G10) ---
     substring_len: int = 256       # minimum shared-run length targeted
