@@ -47,6 +47,12 @@ class DedupConfig:
     # read per node) and scores pairs with pure lookups — no payload
     # shuffle. Above it, two hash joins ship the sets to the pairs.
     verify_broadcast_max_bytes: int = 4_000_000_000
+    # the broadcast index is built as this many doc_id-sharded pieces by
+    # parallel Ray tasks (no driver-side collection); verify tasks fetch
+    # only the shards their batch touches. On one node every shard is a
+    # zero-copy plasma read; on a multi-node cluster pairs can be
+    # pre-partitioned by src shard so each node holds a subset.
+    verify_index_shards: int = 16
 
     # --- skew handling (hot LSH buckets; SURVEY.md §4 "Skew") ---
     max_bucket_pairs: int = 32     # buckets with <= this many docs emit all C(m,2) pairs;

@@ -77,6 +77,10 @@ class MinHasher:
                 rel = offsets[lo_doc : hi_doc + 1] - offsets[lo_doc]
                 docs_ne = np.nonzero(np.diff(rel) > 0)[0]
                 starts = rel[:-1][docs_ne]
+                # a single doc can exceed the chunk budget (web pages > 64 KB
+                # are routine); size the scratch to the actual segment
+                if seg.shape[0] > tmp.shape[0]:
+                    tmp = np.empty(seg.shape[0], dtype=np.uint64)
                 buf = tmp[: seg.shape[0]]
                 for p in range(self.num_perms):
                     np.multiply(seg, self.a[p], out=buf)
