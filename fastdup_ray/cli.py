@@ -27,14 +27,25 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="full near-dup pipeline over a pages parquet dir")
-    run.add_argument("--input", required=True, help="parquet file/dir with the pages schema")
-    run.add_argument("--work-dir", required=True)
+    run.add_argument("--input", default=None, help="parquet file/dir with the pages schema")
+    run.add_argument("--work-dir", default=None)
     run.add_argument("--out", default=None, help="write pages_dedup + decisions here")
     run.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
-    run.add_argument("--threshold", type=float, default=0.9)
-    run.add_argument("--cc-threshold", type=float, default=0.96)
-    run.add_argument("--verify-mode", choices=["exact", "signature"], default="exact")
+    run.add_argument("--threshold", type=float, default=None)
+    run.add_argument("--cc-threshold", type=float, default=None)
+    run.add_argument("--verify-mode", choices=["exact", "signature"], default=None)
     run.add_argument("--no-resume", action="store_true")
+    # S8 analog (reference yaml config source, __init__.py:305-329): a
+    # job-spec file carrying input/work_dir/out plus any DedupConfig
+    # field; flags override the file. JSON always; YAML when pyyaml exists.
+    run.add_argument("--config", default=None, help="JSON/YAML job-spec file")
+
+    rep = sub.add_parser("report", help="galleries + HTML digest from a finished work_dir")
+    rep.add_argument("--input", required=True)
+    rep.add_argument("--work-dir", required=True)
+    rep.add_argument("--out-dir", required=True)
+    rep.add_argument("--num-rows", type=int, default=20)
+    rep.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
     args = ap.parse_args(argv)
 
@@ -55,18 +66,55 @@ def main(argv=None) -> int:
     from fastdup_ray.config import DedupConfig
     from fastdup_ray.pipelines.neardup import NearDupPipeline
 
-    cfg = DedupConfig(
-        threshold=args.threshold,
-        cc_threshold=args.cc_threshold,
-        verify_mode=args.verify_mode,
-    )
-    pipe = NearDupPipeline(cfg, work_dir=args.work_dir)
-    res = pipe.run(pages_path=args.input, resume=not args.no_resume)
+    if args.cmd == "report":
+        pipe = NearDupPipeline(DedupConfig(), work_dir=args.work_dir)
+        res = pipe.run(pages_path=args.input, resume=True)
+        from fastdup_ray.pipelines.galleries import write_all_galleries
+        from fastdup_ray.pipelines.reports import write_html_report
+
+        made = write_all_galleries(res, args.out_dir, num_rows=args.num_rows)
+        made["digest"] = write_html_report(
+            res, os.path.join(args.out_dir, "digest.html"), top_k=args.num_rows
+        )
+        print(json.dumps(made))
+        ray.shutdown()
+        return 0
+
+    spec: dict = {}
+    if args.config:
+        text = open(args.config).read()
+        if args.config.endswith((".yaml", ".yml")):
+            try:
+                import yaml  # type: ignore
+
+                spec = yaml.safe_load(text) or {}
+            except ImportError as e:
+                raise SystemExit("pyyaml not installed; use a JSON spec") from e
+        else:
+            spec = json.loads(text)
+    input_path = args.input or spec.get("input")
+    work_dir = args.work_dir or spec.get("work_dir")
+    out = args.out or spec.get("out")
+    if not input_path or not work_dir:
+        raise SystemExit("--input and --work-dir required (flags or --config)")
+    # spec file is the base; explicitly passed flags override it
+    overrides = {
+        k: v
+        for k, v in (
+            ("threshold", args.threshold),
+            ("cc_threshold", args.cc_threshold),
+            ("verify_mode", args.verify_mode),
+        )
+        if v is not None
+    }
+    cfg = DedupConfig.from_dict({**spec, **overrides})
+    pipe = NearDupPipeline(cfg, work_dir=work_dir)
+    res = pipe.run(pages_path=input_path, resume=not args.no_resume)
     summary = res.summary()
-    if args.out:
+    if out:
         from fastdup_ray.pipelines.sinks import write_dedup_corpus
 
-        summary["dedup"] = write_dedup_corpus(res, args.out, num_partitions=cfg.num_partitions)
+        summary["dedup"] = write_dedup_corpus(res, out, num_partitions=cfg.num_partitions)
     print(json.dumps(summary))
     ray.shutdown()
     return 0

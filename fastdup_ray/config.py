@@ -29,6 +29,9 @@ class DedupConfig:
     num_bands: int = 16            # LSH bands
     rows_per_band: int = 8         # minhash rows per band (num_bands*rows_per_band == num_perms)
     seed: int = 42                 # seeds the permutation matrix (deterministic)
+    hash_version: int = 2          # doc_id/string-hash algorithm version; folded
+                                   # into every stage fingerprint so checkpoints
+                                   # from a different hash can never be reused
 
     # --- thresholds (reference parity) ---
     threshold: float = 0.9         # similarity edge cutoff (est. Jaccard)
@@ -68,6 +71,11 @@ class DedupConfig:
 
     # --- simhash ---
     simhash_hamming: int = 3       # max hamming distance for simhash near-dup pairs
+    simhash_value_cap: int = 256   # max DISTINCT fingerprint values verified as a full
+                                   # clique per quarter bucket; beyond, star-verified
+                                   # against the bucket's min-canon value (identical
+                                   # fingerprints are collapsed before bucketing, so
+                                   # this only triggers on pathological diversity)
 
     # --- execution knobs ---
     batch_size: int = 1024         # rows per batch for signature/extract stages

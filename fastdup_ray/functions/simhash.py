@@ -30,14 +30,18 @@ def simhash64(texts) -> np.ndarray:
     if not tokens:
         return out
     h = hash64_strings(tokens)
-    # (N, 64) bit matrix as int8 votes (1 / -1)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    votes = bits * 2 - 1
+    # (N, 64) bit matrix via one C unpackbits pass (the 64 strided uint64
+    # shifts this replaces cost ~1 s per 100k tokens); int32 so the
+    # per-doc reduceat can't overflow at large token counts. Bit order is
+    # unpackbits' byte-wise big-endian — any fixed order is fine, hamming
+    # distances and quarter structure are order-invariant.
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     nonempty = counts > 0
-    sums = np.add.reduceat(votes, offsets[nonempty], axis=0)
-    fp_bits = (sums > 0).astype(np.uint64)
+    ones = np.add.reduceat(bits, offsets[nonempty], axis=0)
+    # majority vote: bit set iff strictly more ones than zeros
+    fp_bits = (2 * ones > counts[nonempty, None]).astype(np.uint64)
     fps = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     out[nonempty] = fps
     return out

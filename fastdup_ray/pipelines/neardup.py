@@ -49,16 +49,33 @@ from fastdup_ray.stages.signatures import BandStage, SignStage
 from fastdup_ray.stages.verify import verify_pairs
 
 
+def _fs_and_path(path: str):
+    """(pyarrow FileSystem, fs-local path) for a path or URI. Plain paths
+    stay on the local FS; `file://`, `s3://`, ... resolve via Arrow so a
+    multi-node work_dir on object storage works (VERDICT r1 #5: the
+    os/open manifest IO was local-FS-only)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        f, p = pafs.FileSystem.from_uri(path)
+        return f, p
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 def _dir_fingerprint(path: str) -> str:
     """Cheap input fingerprint: file names + sizes + mtimes under path."""
+    from pyarrow import fs as pafs
+
+    f, p = _fs_and_path(path)
+    info = f.get_file_info(p)
     parts = []
-    if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, f))
-            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
-    elif os.path.exists(path):
-        st = os.stat(path)
-        parts.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+    if info.type == pafs.FileType.Directory:
+        for fi in sorted(
+            f.get_file_info(pafs.FileSelector(p)), key=lambda i: i.path
+        ):
+            parts.append(f"{fi.base_name}:{fi.size}:{fi.mtime_ns or 0}")
+    elif info.type == pafs.FileType.File:
+        parts.append(f"{info.base_name}:{info.size}:{info.mtime_ns or 0}")
     return "|".join(parts)
 
 
@@ -66,55 +83,86 @@ class NearDupPipeline:
     def __init__(self, config: DedupConfig | None = None, work_dir: str = "/tmp/fastdup_ray_work"):
         self.cfg = config or DedupConfig()
         self.work_dir = work_dir
-        os.makedirs(work_dir, exist_ok=True)
+        self._fs, self._root = _fs_and_path(work_dir)
+        self._fs.create_dir(self._root, recursive=True)
 
     # ------------------------------------------------------------------ stages
     def _stage(self, name: str, upstream_fps: list[str], build, *, resume: bool = True):
-        """Run-or-restore one checkpointed stage. Returns (Dataset, fingerprint)."""
+        """Run-or-restore one checkpointed stage. Returns (Dataset, fingerprint).
+
+        Object-store-safe commit protocol: data goes to a
+        fingerprint-versioned directory, the manifest is written LAST as
+        the commit marker (single-object PUTs are atomic on object
+        stores; no cross-directory rename needed). Resume trusts a data
+        dir only when the manifest exists and its fingerprint matches.
+        """
+        from pyarrow import fs as pafs
+
         fp = self.cfg.fingerprint(name, *upstream_fps)
-        stage_dir = os.path.join(self.work_dir, name)
-        data_dir = os.path.join(stage_dir, "data")
-        man_path = os.path.join(stage_dir, "manifest.json")
-        if resume and os.path.exists(man_path):
+        stage_root = f"{self._root}/{name}"
+        man_path = f"{stage_root}/manifest.json"
+        data_dir = f"{stage_root}/data-{fp}"
+        if resume:
             try:
-                man = json.load(open(man_path))
-            except json.JSONDecodeError:
+                with self._fs.open_input_stream(man_path) as fh:
+                    man = json.loads(fh.read().decode())
+            except (OSError, json.JSONDecodeError):
                 man = None
-            if man and man.get("fingerprint") == fp and os.path.isdir(data_dir):
-                return rd.read_parquet(data_dir), fp
+            if (
+                man
+                and man.get("fingerprint") == fp
+                and self._fs.get_file_info(data_dir).type
+                == pafs.FileType.Directory
+            ):
+                return rd.read_parquet(data_dir, filesystem=self._fs), fp
         t0 = time.monotonic()
         # materialize first, then write the checkpoint FROM the object
         # store and hand the in-memory dataset downstream — downstream
         # stages start from memory instead of re-reading parquet
         ds = build().materialize()
-        tmp_dir = os.path.join(stage_dir, f"_tmp.{name}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir, exist_ok=True)
-        ds.write_parquet(tmp_dir)
+        try:
+            self._fs.delete_dir_contents(data_dir, missing_dir_ok=True)
+        except (OSError, TypeError):
+            pass
+        self._fs.create_dir(data_dir, recursive=True)
+        ds.write_parquet(data_dir, filesystem=self._fs)
         wall = time.monotonic() - t0
         # per-partition lineage: row count + bytes per written file
         files = []
         total_rows = 0
-        for f in sorted(os.listdir(tmp_dir)):
-            fpath = os.path.join(tmp_dir, f)
-            meta = pq.ParquetFile(fpath).metadata
-            files.append({"file": f, "rows": meta.num_rows,
-                          "bytes": os.stat(fpath).st_size})
+        for fi in sorted(
+            self._fs.get_file_info(pafs.FileSelector(data_dir)),
+            key=lambda i: i.path,
+        ):
+            if fi.type != pafs.FileType.File:
+                continue
+            meta = pq.ParquetFile(self._fs.open_input_file(fi.path)).metadata
+            files.append({"file": fi.base_name, "rows": meta.num_rows,
+                          "bytes": fi.size})
             total_rows += meta.num_rows
-        shutil.rmtree(data_dir, ignore_errors=True)
-        os.replace(tmp_dir, data_dir)
         manifest = {
             "stage": name,
             "fingerprint": fp,
             "upstream": upstream_fps,
             "rows": total_rows,
             "wall_s": round(wall, 3),
+            "data_dir": f"data-{fp}",
             "files": files,
             "config": self.cfg.to_dict(),
         }
-        with open(man_path + ".tmp", "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        os.replace(man_path + ".tmp", man_path)
+        with self._fs.open_output_stream(man_path) as fh:
+            fh.write(json.dumps(manifest, indent=1).encode())
+        # best-effort cleanup of stale fingerprint dirs from older configs
+        try:
+            for fi in self._fs.get_file_info(pafs.FileSelector(stage_root)):
+                if (
+                    fi.type == pafs.FileType.Directory
+                    and fi.base_name.startswith("data-")
+                    and fi.base_name != f"data-{fp}"
+                ):
+                    self._fs.delete_dir(fi.path)
+        except OSError:
+            pass
         return ds, fp
 
     def run(self, pages=None, *, pages_path: str | None = None,
@@ -138,19 +186,29 @@ class NearDupPipeline:
                 _dir_fingerprint(pages_path) if pages_path else f"adhoc:{time.time_ns()}"
             )
 
-        docs, fp_docs = self._stage(
-            "docs", [input_token],
+        if already_extracted:
+            # S11 precomputed-input path (reference run_mode=2 skips
+            # extraction, RUN.md:194-227): `pages` is already a docs table
+            schema = pages.schema()
+            need = {"doc_id", "url", "text", "is_valid"}
+            missing = need - set(schema.names if schema else [])
+            if missing:
+                raise ValueError(
+                    f"already_extracted=True needs docs columns {sorted(need)}; "
+                    f"missing {sorted(missing)}"
+                )
+            build_docs = lambda: pages  # noqa: E731
+        else:
             # instance => stateless elastic tasks; parser construction is
             # cheap, and a fixed-size actor pool only adds ramp-up latency
             # and CPU reservations here (heavy-state stages keep the
             # class/actor-pool form)
-            lambda: pages.map_batches(
+            build_docs = lambda: pages.map_batches(  # noqa: E731
                 HtmlExtractStage(cfg.min_text_len),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-            ),
-            resume=resume,
-        )
+            )
+        docs, fp_docs = self._stage("docs", [input_token], build_docs, resume=resume)
 
         sigs, fp_sigs = self._stage(
             "signatures", [fp_docs],
@@ -286,32 +344,70 @@ class NearDupResult:
             num_parts=self.cfg.num_partitions,
         )
 
-    def outliers(self):
-        """Per-doc best-match edges in the bottom `lower_threshold` quantile
-        of best-match similarity (G3; reference outliers.csv RUN.md:57-68).
-        Quantile is computed on a driver-side sample of per-doc maxima
-        (documented approximation, SURVEY.md §7.4)."""
+    def outliers(self, include_unmatched: bool = True):
+        """(src, dst, distance): each outlier doc with its NEAREST
+        NEIGHBOR — the reference outliers.csv `from,to,distance` schema
+        (RUN.md:57-68, fastdup_controller.py:282-310). Rows are docs whose
+        best candidate similarity falls in the bottom `lower_threshold`
+        quantile of per-doc best similarities, PLUS (include_unmatched)
+        valid docs with ZERO scored candidates — the definitional "far
+        from everything" outliers (G3) — emitted with dst=null,
+        distance=0. Quantile is computed on a driver-side sample of
+        per-doc maxima over SCORED docs (documented approximation,
+        SURVEY.md §7.4)."""
         import pandas as pd
 
-        from fastdup_ray.relational.ops import partitioned_groupby
+        from fastdup_ray.relational.ops import cogroup_anti_join, partitioned_groupby
 
-        def best_agg(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node", as_index=False, sort=False)["distance"].max()
-            return g.rename(columns={"distance": "best"})
+        def best_row(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                ["node", "distance", "neighbor"],
+                ascending=[True, False, True], kind="mergesort",
+            )
+            return df.drop_duplicates("node")
 
         best = partitioned_groupby(
             self._scores.map_batches(_symmetrize_scores, batch_format="pyarrow"),
-            "node", best_agg, num_parts=self.cfg.num_partitions,
+            "node", best_row, num_parts=self.cfg.num_partitions,
         ).materialize()
-        sample = best.random_sample(min(1.0, 200_000 / max(1, best.count())), seed=self.cfg.seed)
-        vals = np.array([r["best"] for r in sample.take_all()], dtype=np.float64)
-        if vals.size == 0:
-            return best.rename_columns({"node": "src", "best": "distance"})
-        q = float(np.quantile(vals, self.cfg.lower_threshold))
-        return best.map_batches(
-            lambda b: b.filter(pa.compute.less_equal(b["best"], pa.scalar(q))),
+        n_best = best.count()
+        out_schema = {"src": pa.int64(), "dst": pa.int64(), "distance": pa.float64()}
+        if n_best == 0:
+            low = rd.from_arrow(
+                pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+            )
+        else:
+            sample = best.random_sample(
+                min(1.0, 200_000 / n_best), seed=self.cfg.seed
+            )
+            vals = np.array([r["distance"] for r in sample.take_all()], np.float64)
+            q = float(np.quantile(vals, self.cfg.lower_threshold)) if vals.size else 0.0
+            low = best.map_batches(
+                lambda b: b.filter(
+                    pa.compute.less_equal(b["distance"], pa.scalar(q))
+                ),
+                batch_format="pyarrow",
+            ).rename_columns({"node": "src", "neighbor": "dst"})
+        if not include_unmatched:
+            return low
+        valid = self._docs.map_batches(
+            lambda b: b.filter(b["is_valid"]).select(["doc_id"]),
             batch_format="pyarrow",
-        ).rename_columns({"node": "src", "best": "distance"})
+        )
+        unmatched = cogroup_anti_join(
+            valid, best, on="doc_id", right_on="node",
+            num_parts=self.cfg.num_partitions,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["doc_id"].cast(pa.int64()),
+                    "dst": pa.nulls(b.num_rows, pa.int64()),
+                    "distance": pa.array(np.zeros(b.num_rows, np.float64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return low.union(unmatched)
 
     def summary(self) -> dict:
         """Counts digest — reference summary() (fastdup_controller.py:660-756)."""
@@ -410,6 +506,7 @@ def _symmetrize_scores(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "node": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "neighbor": pa.array(np.concatenate([dst, src]), pa.int64()),
             "distance": pa.array(np.concatenate([d, d]), pa.float64()),
         }
     )

@@ -411,8 +411,14 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     from fastdup_ray.stages.ann import ivf_assign, ivf_topk, train_ivf_centroids
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    # predicate pushed into tasks; only the handful of query rows reach
+    # the driver (the whole-table take_all was a scale bug, VERDICT r1)
     rows = sorted(
-        (r for r in ds.take_all() if r["vec_id"] < n_queries), key=lambda r: r["vec_id"]
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_queries))),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
     )
     qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
@@ -452,8 +458,13 @@ def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     per batch + per-query top-k reduce — the baseline ANN path
     (embedding-cosine near-dup family)."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # predicate pushdown: only matching rows reach the driver
     qrows = sorted(
-        (r for r in ds.take_all() if r["vec_id"] < n_queries), key=lambda r: r["vec_id"]
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_queries))),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
@@ -660,15 +671,15 @@ GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 10
 
 # ------------------------------------------------------------------ anti-join
 def q_customers_without_orders(sf_dir: str):
-    """J5 anti-join: customers with no orders, via broadcast key-set filter
-    (no shuffle; the key set ships once per task)."""
-    custkeys = set()
-    for b in _t(sf_dir, "orders", ["o_custkey"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        custkeys.update(b["o_custkey"].to_pylist())
-    res = broadcast_semi_join(
-        _t(sf_dir, "customer", ["c_custkey"]), "c_custkey", custkeys, keep=False
+    """J5 anti-join: customers with no orders, as a shuffle anti-join
+    (both sides hash-partitioned by key — the scale path; the round-1
+    driver-built key set was ~|customers| at scale, VERDICT r1)."""
+    from fastdup_ray.relational.ops import cogroup_anti_join
+
+    res = cogroup_anti_join(
+        _t(sf_dir, "customer", ["c_custkey"]),
+        _t(sf_dir, "orders", ["o_custkey"]),
+        on="c_custkey", right_on="o_custkey",
     )
     # collect into a TYPED table: an empty Dataset otherwise loses its
     # schema through to_pandas and fails the driver's schema compare
@@ -756,6 +767,368 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ------------------------------------------------------------------ outliers
+def q_outliers(sf_dir: str):
+    """G3 outliers with the reference's from,to,distance schema
+    (RUN.md:57-68): per-doc best-match similarity over a deterministic
+    candidate relation (identical 64-char prefix buckets; distance =
+    exact char-5-gram Jaccard), bottom `lower_threshold`=0.05 quantile
+    of best values, PLUS docs with zero candidates (dst=-1, distance=0)
+    — the definitional 'far from everything' outliers."""
+    from fastdup_ray.functions.hashing import id63
+    from fastdup_ray.functions.minhash import exact_jaccard_pairs
+    from fastdup_ray.relational.ops import cogroup_anti_join
+    from fastdup_ray.stages.lsh import make_emit_partition
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        # docs shorter than the shingle width have no 5-gram set; they are
+        # zero-candidate by definition (matches the SQL twin's sizes CTE)
+        ok = pa.array([len(t) >= 5 for t in texts])
+        b = batch.filter(ok)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "bucket": pa.array(
+                    id63([t[:64] for t in b["text"].to_pylist()]), pa.int64()
+                ),
+            }
+        )
+
+    pairs = partitioned_groupby(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        "bucket", make_emit_partition(max_bucket_pairs=1_000_000),
+    ).materialize()
+
+    side = docs.select_columns(["doc_id", "text"])
+    out_schema = {"src": pa.int64(), "dst": pa.int64(), "distance": pa.float64()}
+    if pairs.count() == 0:
+        scored = rd.from_arrow(
+            pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+        )
+    else:
+        from fastdup_ray.relational.ops import with_schema
+
+        pairs = with_schema(pairs, {"src": pa.int64(), "dst": pa.int64()})
+        j1 = hash_join(pairs, side, on="src", right_on="doc_id").materialize()
+        j1 = with_schema(
+            j1, {"src": pa.int64(), "dst": pa.int64(), "text": pa.string()}
+        ).materialize()
+        j2 = hash_join(
+            j1, side.rename_columns({"text": "text_r"}), on="dst", right_on="doc_id"
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            d = exact_jaccard_pairs(
+                batch["text"].to_pylist(), batch["text_r"].to_pylist(), 5
+            )
+            return pa.table(
+                {
+                    "src": batch["src"],
+                    "dst": batch["dst"],
+                    "distance": pa.array(np.round(d, 6), pa.float64()),
+                }
+            )
+
+        scored = j2.map_batches(score, batch_format="pyarrow")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        t = batch["dst"].to_numpy(zero_copy_only=False)
+        d = batch["distance"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([s, t]), pa.int64()),
+                "nb": pa.array(np.concatenate([t, s]), pa.int64()),
+                "distance": pa.array(np.concatenate([d, d]), pa.float64()),
+            }
+        )
+
+    def best_row(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["node", "distance", "nb"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.drop_duplicates("node")
+
+    best = partitioned_groupby(
+        scored.map_batches(sym, batch_format="pyarrow"), "node", best_row
+    ).materialize()
+
+    # exact quantile of the best-distance distribution (chars_p90 pattern:
+    # distinct-value counts to the driver, never a full sort)
+    dist = best.groupby("distance").aggregate(Count(alias_name="c")).take_all()
+    low_rows = rd.from_arrow(
+        pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+    )
+    if dist:
+        dist.sort(key=lambda r: r["distance"])
+        total = sum(r["c"] for r in dist)
+        cum, thr = 0, dist[-1]["distance"]
+        for r in dist:
+            cum += r["c"]
+            if cum / total >= 0.05:
+                thr = r["distance"]
+                break
+        low_rows = best.map_batches(
+            lambda b: b.filter(pc.less_equal(b["distance"], pa.scalar(thr))),
+            batch_format="pyarrow",
+        ).rename_columns({"node": "src", "nb": "dst"})
+    unmatched = cogroup_anti_join(
+        docs.select_columns(["doc_id"]), best, on="doc_id", right_on="node"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["doc_id"].cast(pa.int64()),
+                "dst": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "distance": pa.array(np.zeros(b.num_rows, np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return low_rows.union(unmatched)
+
+
+SQL_OUTLIERS = """
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+nums AS (SELECT unnest(range(1, (SELECT coalesce(max(L),1) FROM d)+1)) AS i),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS g
+  FROM d JOIN nums ON i <= L - 4
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM d a JOIN d b
+  ON substr(a.text,1,64) = substr(b.text,1,64) AND a.doc_id < b.doc_id
+  WHERE a.L >= 5 AND b.L >= 5
+),
+inter AS (
+  SELECT p.s, p.t, count(*) AS c
+  FROM pairs p JOIN sh x ON x.doc_id = p.s JOIN sh y ON y.doc_id = p.t AND y.g = x.g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.s, p.t,
+         ROUND(coalesce(i.c,0)::DOUBLE/(sa.sz+sb.sz-coalesce(i.c,0)), 6) AS dist
+  FROM pairs p
+  LEFT JOIN inter i ON i.s = p.s AND i.t = p.t
+  JOIN sizes sa ON sa.doc_id = p.s JOIN sizes sb ON sb.doc_id = p.t
+),
+sym AS (
+  SELECT s AS node, t AS nb, dist FROM scored
+  UNION ALL SELECT t, s, dist FROM scored
+),
+best AS (
+  SELECT node, nb, dist FROM (
+    SELECT node, nb, dist,
+           row_number() OVER (PARTITION BY node ORDER BY dist DESC, nb ASC) AS rn
+    FROM sym
+  ) WHERE rn = 1
+),
+thr AS (
+  SELECT min(dist) AS v FROM (
+    SELECT dist, cume_dist() OVER (ORDER BY dist) AS cd FROM best
+  ) WHERE cd >= 0.05
+)
+SELECT node AS src, nb AS dst, dist AS distance FROM best WHERE dist <= (SELECT v FROM thr)
+UNION ALL
+SELECT doc_id AS src, -1 AS dst, 0.0 AS distance FROM documents
+WHERE doc_id NOT IN (SELECT node FROM best)
+"""
+
+
+# ---------------------------------------------------------------- label score
+def q_label_score(sf_dir: str):
+    """A4 label_score mislabel metric (reference galleries.py:1864-1884):
+    per doc, the fraction of its candidate-graph neighbors sharing its
+    label (here: `lang`), over the deterministic prefix-bucket pair
+    relation. Docs with no neighbors are excluded (reference behavior:
+    score only defined for docs appearing in the similarity graph)."""
+    from fastdup_ray.functions.hashing import id63
+    from fastdup_ray.stages.lsh import make_emit_partition
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(id63([t[:64] for t in texts]), pa.int64()),
+            }
+        )
+
+    pairs = partitioned_groupby(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        "bucket", make_emit_partition(max_bucket_pairs=1_000_000),
+    ).materialize()
+    out_schema = {"doc_id": pa.int64(), "label_score": pa.float64(),
+                  "n_neighbors": pa.int64()}
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+        )
+    from fastdup_ray.relational.ops import with_schema
+
+    pairs = with_schema(pairs, {"src": pa.int64(), "dst": pa.int64()})
+    labels = docs.select_columns(["doc_id", "lang"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        t = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([s, t]), pa.int64()),
+                "nb": pa.array(np.concatenate([t, s]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    j1 = hash_join(edges, labels, on="node", right_on="doc_id").materialize()
+    j1 = with_schema(
+        j1, {"node": pa.int64(), "nb": pa.int64(), "lang": pa.string()}
+    ).materialize()
+    j2 = hash_join(
+        j1, labels.rename_columns({"lang": "lang_nb"}), on="nb", right_on="doc_id"
+    )
+
+    def agree(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(same=(df["lang"] == df["lang_nb"]).astype(np.int64))
+        g = df.groupby("node", as_index=False).agg(
+            same=("same", "sum"), n_neighbors=("same", "size")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["node"].to_numpy().astype(np.int64),
+                "label_score": np.round(
+                    g["same"].to_numpy() / g["n_neighbors"].to_numpy(), 6
+                ),
+                "n_neighbors": g["n_neighbors"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return partitioned_groupby(j2, "node", agree)
+
+
+SQL_LABEL_SCORE = """
+WITH pairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM documents a JOIN documents b
+  ON substr(a.text,1,64) = substr(b.text,1,64) AND a.doc_id < b.doc_id
+),
+sym AS (SELECT s AS node, t AS nb FROM pairs UNION ALL SELECT t, s FROM pairs)
+SELECT e.node AS doc_id,
+       ROUND(sum(CASE WHEN x.lang = y.lang THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS label_score,
+       count(*) AS n_neighbors
+FROM sym e
+JOIN documents x ON x.doc_id = e.node
+JOIN documents y ON y.doc_id = e.nb
+GROUP BY e.node
+"""
+
+
+# ----------------------------------------------------------- BPE-ish tokens
+# GPT-2-style pretokenizer pattern, lookahead-free (RE2 on both sides:
+# Arrow's count_substring_regex and DuckDB's regexp_extract_all)
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+"
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Token counting with a BPE-ish pretokenizer regex (charter 'text
+    analysis' item): per-doc match count of the GPT-2-style pattern,
+    fully vectorized via Arrow's RE2 kernel."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = pc.count_substring_regex(pc.fill_null(texts, ""), _BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# -------------------------------------------------------- graph extras (G5/G9)
+def q_pagerank(sf_dir: str):
+    """G5 PageRank + degree over the deterministic prefix-bucket pair
+    graph (rows-only: fixed-iteration power-iteration values)."""
+    from fastdup_ray.functions.hashing import id63
+    from fastdup_ray.stages.lsh import make_emit_partition
+    from fastdup_ray.stages.pagerank import pagerank
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(id63([t[:64] for t in texts]), pa.int64()),
+            }
+        )
+
+    pairs = partitioned_groupby(
+        _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            keyed, batch_format="pyarrow"
+        ),
+        "bucket", make_emit_partition(max_bucket_pairs=1_000_000),
+    )
+    return pagerank(pairs, DedupConfig())
+
+
+def q_hierarchical_components(sf_dir: str):
+    """G9 cluster-the-clusters (rows-only: MinHash-defined): first-level
+    components = exact text dedup groups; exemplars re-clustered by
+    MinHash similarity at threshold 0.7."""
+    from fastdup_ray.stages.hierarchy import hierarchical_components
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    comps = q_exact_dup_components(sf_dir).materialize()
+    clusters, _edges = hierarchical_components(
+        docs, comps, DedupConfig(), cluster_threshold=0.7
+    )
+    return clusters
+
+
+def q_lang_confusion(sf_dir: str):
+    """A10 classification report (rows-only: lang_pred is heuristic):
+    per-class precision/recall/F1 of the heuristic language-ID against
+    the documents table's lang column."""
+    from fastdup_ray.stages.metrics import classification_report
+
+    stats = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TextStatsStage(), batch_format="pyarrow", batch_size=2048
+    )
+    # label = true lang from documents; join back on doc_id
+    truth = _t(sf_dir, "documents", ["doc_id", "lang"])
+    joined = hash_join(
+        stats.select_columns(["doc_id", "lang_pred"]), truth.rename_columns(
+            {"doc_id": "tdoc"}
+        ),
+        on="doc_id", right_on="tdoc",
+    ).map_batches(
+        lambda b: pa.table({"label": b["lang"], "pred": b["lang_pred"]}),
+        batch_format="pyarrow",
+    )
+    return classification_report(joined)
+
+
 # ----------------------------------------------------------------- catalogs
 def queries():
     return {
@@ -779,6 +1152,12 @@ def queries():
         "customer_revenue_topk": q_customer_revenue_topk,
         "customers_without_orders": q_customers_without_orders,
         "pricing_summary": q_pricing_summary,
+        "outliers": q_outliers,
+        "label_score": q_label_score,
+        "pagerank": q_pagerank,
+        "hierarchical_components": q_hierarchical_components,
+        "lang_confusion": q_lang_confusion,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -798,6 +1177,9 @@ def oracle_sql():
         "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "outliers": SQL_OUTLIERS,
+        "label_score": SQL_LABEL_SCORE,
+        "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
         # minhash_components / simhash_fingerprints: probabilistic or
         # hash-defined -> rows-only check by design
     }

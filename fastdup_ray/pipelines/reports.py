@@ -86,8 +86,14 @@ def write_html_report(result, path: str, *, top_k: int = 20) -> str:
     slices of each table."""
     summary = result.summary()
     top_edges = result.duplicates_report(num_rows=top_k).take_all()
-    comps = result.connected_components_grouped().take_all()
-    comps = sorted(comps, key=lambda r: -r["len"])[:top_k]
+    # sort/limit pushed into the Dataset: only the head-N component rows
+    # ever reach the driver
+    comps = (
+        result.connected_components_grouped()
+        .sort(["len", "component_id"], descending=[True, False])
+        .limit(top_k)
+        .take_all()
+    )
 
     def esc(x) -> str:
         return _html.escape(str(x))

@@ -214,6 +214,45 @@ def with_schema(ds, cols: dict):
     return rd.from_arrow_refs(refs)
 
 
+def cogroup_anti_join(left, right, *, on: str, right_on: str | None = None,
+                      num_parts: int = 64):
+    """Left rows whose `on` key has NO match in right's `right_on` — the
+    shuffle anti-join (J5). Both sides are hash-partitioned by key, so it
+    scales past the broadcast-key-set pattern (`broadcast_semi_join`)
+    when the right side's distinct-key set is itself big."""
+    import numpy as np
+
+    rk = right_on or on
+    lschema = left.schema()
+    lcols = dict(zip(lschema.names, lschema.types))
+    key_t = lcols[on]
+
+    def lnorm(batch: pa.Table) -> pa.Table:
+        out = {c: batch[c] for c in lcols}
+        out["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(out)
+
+    def rnorm(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {
+            c: (batch[rk].cast(key_t) if c == on else pa.nulls(n, t))
+            for c, t in lcols.items()
+        }
+        out["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(out)
+
+    both = left.map_batches(lnorm, batch_format="pyarrow").union(
+        right.select_columns([rk]).map_batches(rnorm, batch_format="pyarrow")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df[df["__side"] == 0]
+        rkeys = df.loc[df["__side"] == 1, on].unique()
+        return lp[~lp[on].isin(rkeys)].drop(columns="__side")
+
+    return partitioned_groupby(both, on, anti, num_parts=num_parts)
+
+
 def cogroup_join(left, right, *, on: str, right_on: str, num_parts: int = 64):
     """Inner hash join built on partitioned_groupby: both sides get the
     same key-hash partition column, are schema-normalized (union of

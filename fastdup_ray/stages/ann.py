@@ -115,6 +115,66 @@ def ivf_assign(ds, centroids: np.ndarray, *, embedding_col: str = "embedding"):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def kmeans_assignments(ds, centroids: np.ndarray, *,
+                       embedding_col: str = "embedding"):
+    """G6 assignment artifact: (vec_id, cluster, distance) — the analog of
+    the reference's kmeans_assignments.csv `filename,cluster,distance`
+    (reference definitions.py:17-19, __init__.py:2694-2700); distance is
+    cosine similarity to the assigned centroid, rounded 5dp."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        ids, m = _matrix(batch, embedding_col)
+        cos = _normalize(m) @ cent.T
+        cell = cos.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cell.astype(np.int32), pa.int32()),
+                "distance": pa.array(
+                    np.round(cos[np.arange(ids.shape[0]), cell], 5), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cluster_label_vote(assignments, labels, *, num_parts: int = 32,
+                       min_count: int = 1):
+    """A6 KMeans-cluster majority label (reference __init__.py:2634-2679):
+    per cluster, the most frequent label (ties -> lexicographically
+    smallest), vote count and purity. assignments: (vec_id, cluster);
+    labels: (vec_id, label)."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import hash_join
+
+    joined = hash_join(
+        assignments.select_columns(["vec_id", "cluster"]),
+        labels.rename_columns({"vec_id": "lvec"}),
+        on="vec_id", right_on="lvec", num_partitions=num_parts,
+    )
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, g in df.groupby("cluster", sort=False):
+            counts = g["label"].value_counts()
+            top = int(counts.max())
+            label = (
+                sorted(counts[counts == top].index)[0]
+                if top >= min_count
+                else "unknown"
+            )
+            rows.append((int(cid), label, top, top / len(g)))
+        return pd.DataFrame(
+            rows, columns=["cluster", "label", "votes", "purity"]
+        )
+
+    return partitioned_groupby(joined, "cluster", vote, num_parts=num_parts)
+
+
 def ivf_topk(assigned, centroids: np.ndarray, query_ids, query_matrix,
              k: int = 10, nprobe: int = 4, *, embedding_col: str = "embedding"):
     """Approximate top-k: per query, scan only rows whose `cell` is among

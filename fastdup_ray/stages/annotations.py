@@ -48,8 +48,13 @@ def expand_annotations(docs, annotations, *, num_partitions: int = 32):
             has_doc & ~has_annot, ERR_MISSING_ANNOTATION,
             np.where(~has_doc, ERR_MISSING_DOC, ""),
         )
+        # annotation-only rows have a null docs-side url; keep the
+        # annotation's own url so MISSING_DOC rows identify which
+        # annotation is dangling (reference _expand_annot_df keeps the
+        # annotation filename, fastdup_controller.py:1110-1224)
+        url = df["url"].where(df["url"].notna(), df["a_url"])
         out = {
-            "url": df["url"].astype(str),
+            "url": url.astype(str),
             "doc_id": df["doc_id"].fillna(-1).astype(np.int64),
             "annot_error": err.astype(str),
         }
@@ -61,7 +66,9 @@ def expand_annotations(docs, annotations, *, num_partitions: int = 32):
 
 
 def slice_by_label(ds, label_col: str, value, *, mode: str = "eq"):
-    """M15 slice_df analog: eq / contains / isin filters on a label column."""
+    """M15/M17 slice_df analog: eq / contains / isin / regex filters on a
+    label column (regex = the reference's `find_regex` listing filter,
+    fastdup_controller.py:1550)."""
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -72,8 +79,28 @@ def slice_by_label(ds, label_col: str, value, *, mode: str = "eq"):
             mask = pc.match_substring(col, value)
         elif mode == "isin":
             mask = pc.is_in(col, value_set=pa.array(list(value)))
+        elif mode == "regex":
+            mask = pc.match_substring_regex(col, value)
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def slice_two_labels(ds, col_a: str, col_b: str, *, mode: str = "same"):
+    """M15 slice_two_labels analog (reference galleries.py:163-170): keep
+    rows where two label columns agree ("same") or differ ("diff") — the
+    cross-column slice used on edge tables with labels joined on both
+    endpoints (e.g. label vs label_nb)."""
+    import pyarrow.compute as pc
+
+    if mode not in ("same", "diff"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        eq = pc.equal(batch[col_a], batch[col_b])
+        mask = eq if mode == "same" else pc.invert(eq)
         return batch.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(fn, batch_format="pyarrow")

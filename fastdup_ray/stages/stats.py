@@ -114,23 +114,133 @@ class TextStatsStage:
         return round(min(1.0, max(0.0, s)), 6)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        rows = [self._one(t or "") for t in texts]
-        cols = list(zip(*rows)) if rows else [[]] * 11
+        """Vectorized: Arrow compute kernels for char/regex counts and the
+        whitespace split, numpy segment reductions for per-doc token
+        aggregates (`_one` is the scalar reference implementation used by
+        the parity test; semantics are identical)."""
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        n = len(texts)
         r = self.round
+
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = n_chars > 0
+        n_lines = np.where(
+            nonempty,
+            pc.count_substring(texts, "\n").to_numpy(zero_copy_only=False) + 1,
+            0,
+        ).astype(np.int64)
+        digits = (
+            pc.count_substring_regex(texts, "[0-9]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        non_ascii = (
+            pc.count_substring_regex(texts, r"[^\x00-\x7F]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cjk = (
+            pc.count_substring_regex(texts, "[一-鿿]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+        # split_whitespace emits EMPTY tokens for leading/trailing/run
+        # whitespace (unlike str.split); drop them before any counting
+        toks = pc.utf8_split_whitespace(texts)
+        raw_counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = toks.flatten()
+        seg = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep_tok = tok_lens > 0
+        if not keep_tok.all():
+            flat = flat.filter(pa.array(keep_tok))
+            seg = seg[keep_tok]
+            tok_lens = tok_lens[keep_tok]
+        n_tokens = np.bincount(seg, minlength=n).astype(np.int64)
+        non_ws = np.bincount(seg, weights=tok_lens, minlength=n).astype(np.int64)
+
+        # dictionary-encode the token stream ONCE: distinct-per-doc and all
+        # stopword membership tests then run on integer codes / the (small)
+        # dictionary instead of the raw strings
+        de = flat.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary
+
+        # distinct tokens per doc: lexsort (code, seg), count first
+        # occurrences per segment — exact, no hashing
+        order = np.lexsort((codes, seg))
+        sc, ss = codes[order], seg[order]
+        first = np.ones(sc.shape[0], dtype=bool)
+        first[1:] = (sc[1:] != sc[:-1]) | (ss[1:] != ss[:-1])
+        uniq_counts = np.bincount(ss[first], minlength=n).astype(np.int64)
+
+        vocab_low = pc.utf8_lower(vocab)
+        langs = list(self.stopwords)
+        hits = np.zeros((len(langs), n), dtype=np.int64)
+        for i, lang in enumerate(langs):
+            member = pc.is_in(
+                vocab_low, value_set=pa.array(sorted(self.stopwords[lang]))
+            ).to_numpy(zero_copy_only=False)
+            hits[i] = np.bincount(
+                seg, weights=member[codes], minlength=n
+            ).astype(np.int64)
+        best_i = hits.argmax(axis=0)  # ties -> first lang in dict order (as _lang)
+        best_hits = hits.max(axis=0) if n else np.zeros(0, np.int64)
+        denom_t = np.maximum(1, n_tokens)
+        stop_ratio = best_hits / denom_t
+        lang_arr = np.asarray(langs, dtype=object)[best_i]
+        lang_arr[best_hits == 0] = "unknown"
+        lang_score = np.where(best_hits == 0, 0.0, np.round(stop_ratio, 6))
+        stop_ratio = np.where(best_hits == 0, 0.0, stop_ratio)
+        is_zh = nonempty & (cjk / np.maximum(1, n_chars) > 0.05)
+        lang_arr[is_zh] = "zh"
+        lang_score = np.where(
+            is_zh, np.round(cjk / np.maximum(1, n_chars), 6), lang_score
+        )
+        stop_ratio = np.where(is_zh, 0.0, stop_ratio)
+
+        denom_c = np.maximum(1, n_chars)
+        uniq = np.where(n_tokens > 0, uniq_counts / denom_t, 0.0)
+        mean_wl = np.where(n_tokens > 0, non_ws / denom_t, 0.0)
+        digit_ratio = digits / denom_c
+        non_ascii_ratio = non_ascii / denom_c
+
+        q = np.ones(n, dtype=np.float64)
+        q = np.where(n_tokens < 50, q * (n_tokens / 50.0), q)
+        q = np.where(uniq < 0.3, q * (uniq / 0.3), q)
+        q = np.where((mean_wl < 2.0) | (mean_wl > 12.0), q * 0.5, q)
+        q = np.where(digit_ratio > 0.2, q * 0.5, q)
+        quality = np.round(np.clip(q, 0.0, 1.0), 6)
+        # empty docs: all-zero metrics, unknown lang (matches _one)
+        for arr in (uniq, mean_wl, digit_ratio, non_ascii_ratio, stop_ratio,
+                    lang_score, quality):
+            arr[~nonempty] = 0.0
+        lang_arr[~nonempty] = "unknown"
+
         out = {
             "doc_id": batch["doc_id"],
-            "n_chars": pa.array(np.asarray(cols[0], np.int64)),
-            "n_tokens": pa.array(np.asarray(cols[1], np.int64)),
-            "n_lines": pa.array(np.asarray(cols[2], np.int64)),
-            "uniq_token_ratio": pa.array(np.round(np.asarray(cols[3], np.float64), r)),
-            "mean_word_len": pa.array(np.round(np.asarray(cols[4], np.float64), r)),
-            "digit_ratio": pa.array(np.round(np.asarray(cols[5], np.float64), r)),
-            "non_ascii_ratio": pa.array(np.round(np.asarray(cols[6], np.float64), r)),
-            "stopword_ratio": pa.array(np.round(np.asarray(cols[7], np.float64), r)),
-            "lang_pred": pa.array(list(cols[8]), pa.string()),
-            "lang_score": pa.array(np.asarray(cols[9], np.float64)),
-            "quality": pa.array(np.asarray(cols[10], np.float64)),
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "n_lines": pa.array(n_lines),
+            "uniq_token_ratio": pa.array(np.round(uniq, r)),
+            "mean_word_len": pa.array(np.round(mean_wl, r)),
+            "digit_ratio": pa.array(np.round(digit_ratio, r)),
+            "non_ascii_ratio": pa.array(np.round(non_ascii_ratio, r)),
+            "stopword_ratio": pa.array(np.round(stop_ratio, r)),
+            "lang_pred": pa.array(lang_arr.tolist(), pa.string()),
+            "lang_score": pa.array(lang_score, pa.float64()),
+            "quality": pa.array(quality, pa.float64()),
         }
         if "url" in batch.column_names:
             out["url"] = batch["url"]

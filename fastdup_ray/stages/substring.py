@@ -137,11 +137,18 @@ def substring_pairs(docs, config: DedupConfig | None = None):
         num_parts=cfg.num_partitions,
     )
 
-    # keep ONE candidate anchor per (src,dst) — the verify extends to the
-    # maximal run around it; different anchors in the same shared run give
-    # the same answer
+    # keep ONE candidate anchor per (src, dst, diagonal) where diagonal =
+    # src_off - dst_off: anchors on the same diagonal inside the same
+    # shared run extend to the identical maximal run, but anchors from
+    # DIFFERENT shared runs (different diagonals) must each be verified —
+    # an arbitrary single anchor can land in a run shorter than
+    # substring_len while another run qualifies. (Two distinct runs on
+    # the same diagonal would still collapse to one anchor; that requires
+    # equal displacement in both docs, vanishingly rare.) The final
+    # max(match_len) per pair is taken after verification below.
     def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["src", "dst"])
+        delta = df["src_off"] - df["dst_off"]
+        return df.loc[~df.assign(_d=delta).duplicated(["src", "dst", "_d"])]
 
     cand = partitioned_groupby(cand, ["src", "dst"], dedupe,
                                num_parts=cfg.num_partitions).materialize()
@@ -199,4 +206,12 @@ def substring_pairs(docs, config: DedupConfig | None = None):
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    verified = j2.map_batches(verify, batch_format="pyarrow")
+
+    # several anchors (diagonals) per pair may survive: report the pair
+    # once with its maximal shared-run length
+    def maxlen(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["src", "dst"], as_index=False)["match_len"].max()
+
+    return partitioned_groupby(verified, ["src", "dst"], maxlen,
+                               num_parts=cfg.num_partitions)

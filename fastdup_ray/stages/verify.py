@@ -123,17 +123,42 @@ class _SetIndex:
         return start, end
 
 
-def _build_index_shards(packed, bin_col: str, num_shards: int) -> list:
-    """Build `num_shards` doc_id-sharded _SetIndex objects with Ray tasks.
+def _binary_column_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """(values uint32, element offsets int64) of a binary column, straight
+    from the Arrow buffers — no per-row Python, no bytes copies."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint32), np.zeros(1, np.int64)
+    off_dtype = np.int32 if pa.types.is_binary(col.type) else np.int64
+    bufs = col.buffers()
+    byte_offs = np.frombuffer(bufs[1], off_dtype)[col.offset : col.offset + n + 1]
+    start = int(byte_offs[0])
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    values = data[start : int(byte_offs[-1])].view(np.uint32)
+    return values, ((byte_offs.astype(np.int64) - start) // 4)
 
-    Two-level fan: one `split` task per block partitions its rows by
-    `doc_id % num_shards` (num_returns=num_shards, so each piece is its
-    own plasma object); one `assemble` task per shard concatenates its
-    pieces and sorts ids. No data touches the driver — the round-1
-    driver-serial `iter_batches` collection was the measured verify-stage
-    scaling killer (VERDICT round 1, 0.6x from 8->32 cpus).
 
-    Returns a list of object refs, one _SetIndex per shard.
+def _build_index_shards(packed, bin_col: str, num_shards: int):
+    """Build doc_id-sharded _SetIndex objects plus a routing table.
+
+    Shards are DISJOINT BLOCK GROUPS (blocks[s::num_shards]): each build
+    task reads only its own ~1/num_shards of the packed data — the keys
+    to single-node scaling are that no task fans over the full table
+    (first-touch page faults of the shared plasma mapping were measured
+    at 4-8 s per 16-way-concurrent wave when every task scanned every
+    block) and that nothing touches the driver (the round-1
+    driver-serial `iter_batches` collection anti-scaled 0.6x at 32 cpus).
+    Because block groups don't key by doc_id, a small ROUTER object
+    (globally sorted ids + their shard) built by one follow-up task maps
+    each doc to its shard at lookup time. On a multi-node cluster the
+    natural variant is hash-sharding with pairs pre-partitioned by shard
+    so each node pins only its shards; the router (9 B/doc) stays
+    single-node-sized here.
+
+    Returns (shard_refs: list[ObjectRef[_SetIndex]],
+             router_ref: ObjectRef[(ids_sorted, shard_of)]).
     """
     import ray
 
@@ -141,44 +166,46 @@ def _build_index_shards(packed, bin_col: str, num_shards: int) -> list:
 
     empty = _SetIndex(np.empty(0, np.int64), np.empty(0, np.int64),
                       np.zeros(1, np.int64), np.empty(0, np.uint32))
+    empty_router = (np.empty(0, np.int64), np.empty(0, np.int32))
     if not blocks:
-        return [ray.put(empty) for _ in range(num_shards)]
-
-    @ray.remote(num_returns=num_shards)
-    def split(t: pa.Table):
-        col = t[bin_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        bufs = col.to_pylist()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        shard = ids % num_shards
-        outs = []
-        for s in range(num_shards):
-            sel = np.nonzero(shard == s)[0]
-            lens = np.asarray([len(bufs[i]) // 4 for i in sel], dtype=np.int64)
-            blob = b"".join(bufs[i] for i in sel)
-            outs.append((ids[sel], lens, blob))
-        return outs[0] if num_shards == 1 else tuple(outs)
+        return [ray.put(empty) for _ in range(num_shards)], ray.put(empty_router)
+    num_shards = min(num_shards, len(blocks))
 
     @ray.remote
-    def assemble(*pieces):
-        ids = np.concatenate([p[0] for p in pieces])
-        if ids.shape[0] == 0:
+    def build_shard(*tables):
+        id_parts, len_parts, val_parts = [], [], []
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            id_parts.append(
+                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            values, offs = _binary_column_flat(t[bin_col])
+            len_parts.append(np.diff(offs))
+            val_parts.append(np.asarray(values))
+        if not id_parts:
             return empty
-        lens = np.concatenate([p[1] for p in pieces])
-        values = np.frombuffer(b"".join(p[2] for p in pieces), dtype=np.uint32)
+        ids = np.concatenate(id_parts)
+        lens = np.concatenate(len_parts)
+        values = np.concatenate(val_parts)
         order = np.argsort(ids, kind="stable")
         off = np.zeros(ids.shape[0] + 1, dtype=np.int64)
         np.cumsum(lens, out=off[1:])
         return _SetIndex(ids[order], order.astype(np.int64), off, values)
 
-    parts = [split.remote(b) for b in blocks]
-    if num_shards == 1:
-        parts = [[p] for p in parts]
-    return [
-        assemble.remote(*[parts[b][s] for b in range(len(blocks))])
-        for s in range(num_shards)
+    @ray.remote
+    def build_router(*shards):
+        ids = np.concatenate([s.ids for s in shards])
+        shard_of = np.concatenate(
+            [np.full(s.ids.shape[0], i, np.int32) for i, s in enumerate(shards)]
+        )
+        order = np.argsort(ids, kind="stable")
+        return ids[order], shard_of[order]
+
+    shard_refs = [
+        build_shard.remote(*blocks[s::num_shards]) for s in range(num_shards)
     ]
+    return shard_refs, build_router.remote(*shard_refs)
 
 
 def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -243,26 +270,37 @@ def _exact_scores_block(vals_a, sa, ea, vals_b, sb, eb, out, out_rows) -> None:
         lo = hi
 
 
-def _broadcast_verify(pairs, shard_refs, *, is_signature: bool, num_perms: int,
-                      num_shards: int):
+def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
+                      num_perms: int):
     """Score pairs against doc_id-sharded _SetIndex objects.
 
-    Each map task groups its batch by (src_shard, dst_shard) and runs a
+    Each map task routes its docs to shards via the router (one
+    searchsorted), groups the batch by (src_shard, dst_shard) and runs a
     fully vectorized kernel per group — no per-pair Python. Shard fetches
     are zero-copy plasma reads; a batch only touches the shards its docs
-    hash into.
+    live in.
     """
     import ray
 
     P = num_perms
+    num_shards = len(shard_refs)
 
     def fn(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = src.shape[0]
         dist = np.zeros(n, dtype=np.float64)
-        s_sh = src % num_shards
-        d_sh = dst % num_shards
+        r_ids, r_shard = ray.get(router_ref)
+
+        def route(docs: np.ndarray) -> np.ndarray:
+            if r_ids.shape[0] == 0:
+                return np.zeros(docs.shape[0], np.int64)
+            pos = np.clip(np.searchsorted(r_ids, docs), 0, r_ids.shape[0] - 1)
+            # unindexed docs route to shard 0, whose lookup reports absent
+            return np.where(r_ids[pos] == docs, r_shard[pos], 0).astype(np.int64)
+
+        s_sh = route(src)
+        d_sh = route(dst)
         group_key = s_sh * num_shards + d_sh
         order = np.argsort(group_key, kind="stable")
         sorted_keys = group_key[order]
@@ -336,10 +374,11 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
             packed = signatures.select_columns(["doc_id", "minhash"]).map_batches(
                 _pack_minhash, batch_format="pyarrow"
             )
-            refs = _build_index_shards(packed, "mh_bin", cfg.verify_index_shards)
-            return _broadcast_verify(pairs, refs, is_signature=True,
-                                     num_perms=cfg.num_perms,
-                                     num_shards=cfg.verify_index_shards)
+            refs, router = _build_index_shards(
+                packed, "mh_bin", cfg.verify_index_shards
+            )
+            return _broadcast_verify(pairs, refs, router, is_signature=True,
+                                     num_perms=cfg.num_perms)
     else:
         if shingle_sets is None:
             shingle_sets = docs.map_batches(
@@ -354,10 +393,11 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
         )
         if n_sh * avg * 4 <= cfg.verify_broadcast_max_bytes:
             packed = shingle_sets.map_batches(_pack_shingles, batch_format="pyarrow")
-            refs = _build_index_shards(packed, "sh_bin", cfg.verify_index_shards)
-            return _broadcast_verify(pairs, refs, is_signature=False,
-                                     num_perms=cfg.num_perms,
-                                     num_shards=cfg.verify_index_shards)
+            refs, router = _build_index_shards(
+                packed, "sh_bin", cfg.verify_index_shards
+            )
+            return _broadcast_verify(pairs, refs, router, is_signature=False,
+                                     num_perms=cfg.num_perms)
 
     # acero rejects list-typed join payloads ("Data type list<uint32> is
     # not supported in join non-key field"): ship sets/signatures as
@@ -399,12 +439,27 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
 
 
 def _pack_shingles(batch: pa.Table) -> pa.Table:
+    """list<uint32> -> binary, built from the Arrow buffers directly
+    (offsets x4 + one data copy; no per-row Python)."""
     off, val = list_column_arrays(batch["shingles"])
-    blobs = [val[off[i] : off[i + 1]].tobytes() for i in range(batch.num_rows)]
-    return pa.table({"doc_id": batch["doc_id"], "sh_bin": pa.array(blobs, pa.binary())})
+    n = batch.num_rows
+    start = int(off[0])
+    b_off = ((off - start) * 4).astype(np.int32)
+    data = val[start : int(off[-1])].tobytes()
+    bin_arr = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(b_off.tobytes()), pa.py_buffer(data)]
+    )
+    return pa.table({"doc_id": batch["doc_id"], "sh_bin": bin_arr})
 
 
 def _pack_minhash(batch: pa.Table) -> pa.Table:
     _, sig = signatures_to_matrix(batch)
-    blobs = [sig[i].tobytes() for i in range(sig.shape[0])]
-    return pa.table({"doc_id": batch["doc_id"], "mh_bin": pa.array(blobs, pa.binary())})
+    n = sig.shape[0]
+    width = sig.shape[1] * 4 if n else 0
+    b_off = (np.arange(n + 1, dtype=np.int64) * width).astype(np.int32)
+    bin_arr = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(b_off.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(sig, dtype=np.uint32).tobytes())],
+    )
+    return pa.table({"doc_id": batch["doc_id"], "mh_bin": bin_arr})

@@ -1,0 +1,464 @@
+"""Round-2 additions: own-code hash vectors, large-doc minhash, outlier
+semantics, substring multi-run recall, annotation url coalesce, pagerank,
+hierarchical components, classification report, sharded search, shuffle
+anti-join, vectorized stats parity, galleries, file:// work_dir."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from fastdup_ray.config import DedupConfig
+from fastdup_ray.functions.hashing import hash64_strings, id63
+from fastdup_ray.functions.minhash import MinHasher
+
+
+# ------------------------------------------------------------------ hashing v2
+def test_hash_v2_fixed_vectors():
+    """Pins the own-code string hash forever — checkpointed doc_ids must
+    never silently change (VERDICT r1 #10)."""
+    vectors = {
+        "": 7171347544907833250,
+        "a": 1551166993505926438,
+        "hello world": 4142144083479816312,
+        "http://example.com/page?q=1": 5031823315010335016,
+    }
+    for s, expect in vectors.items():
+        assert int(id63([s])[0]) == expect
+    h = hash64_strings(list(vectors))
+    for i, s in enumerate(vectors):
+        assert int(hash64_strings([s])[0]) == int(h[i])  # batch-invariant
+    assert all(int(x) != 0 for x in h)
+
+
+def test_minhash_large_doc_over_chunk_budget():
+    """ADVICE r1 (high): docs with > 65,536 shingles crashed the sign
+    stage; now they sign correctly and batch-invariantly."""
+    m = MinHasher()
+    big = "abcdefghij" * 25_000  # ~250k shingles, far over the 32k budget
+    small = "hello world this is a doc"
+    sig, ns = m.signatures([small, big, big, small])
+    assert ns[1] > 65_536
+    assert (sig[1] == sig[2]).all() and (sig[0] == sig[3]).all()
+    solo, _ = m.signatures([big])
+    assert (solo[0] == sig[1]).all()
+
+
+# ------------------------------------------------------------------ anti-join
+def test_cogroup_anti_join(ray_session):
+    from fastdup_ray.relational.ops import cogroup_anti_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                                   "v": pa.array(list("abcde"))}))
+    right = rd.from_arrow(pa.table({"r": pa.array([2, 4, 4, 9], pa.int64())}))
+    out = cogroup_anti_join(left, right, on="k", right_on="r").take_all()
+    assert sorted((r["k"], r["v"]) for r in out) == [(1, "a"), (3, "c"), (5, "e")]
+
+
+# ------------------------------------------------------------------- pagerank
+def test_pagerank_matches_dense_reference(ray_session):
+    from fastdup_ray.stages.pagerank import pagerank
+
+    # planted graph: triangle (1,2,3) + edge (4,5), node ids arbitrary
+    edges = pa.table(
+        {
+            "src": pa.array([10, 10, 20, 40], pa.int64()),
+            "dst": pa.array([20, 30, 30, 50], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(edges)
+    out = {r["node"]: r for r in pagerank(ds, DedupConfig(), iters=10).take_all()}
+    # dense numpy reference on the symmetrized graph
+    nodes = [10, 20, 30, 40, 50]
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((5, 5))
+    for s, t in [(10, 20), (10, 30), (20, 30), (40, 50)]:
+        adj[idx[s], idx[t]] = adj[idx[t], idx[s]] = 1
+    deg = adj.sum(1)
+    pr = np.full(5, 1 / 5)
+    for _ in range(10):
+        pr = (1 - 0.85) / 5 + 0.85 * adj.T @ (pr / deg)
+    for n in nodes:
+        assert abs(out[n]["pagerank"] - pr[idx[n]]) < 1e-9
+        assert out[n]["degree"] == int(deg[idx[n]])
+
+    # distributed path gives identical results
+    cfg0 = DedupConfig(cc_driver_max_edges=0, num_partitions=4)
+    out2 = {r["node"]: r for r in pagerank(ds, cfg0, iters=10).take_all()}
+    for n in nodes:
+        assert abs(out2[n]["pagerank"] - out[n]["pagerank"]) < 1e-9
+        assert out2[n]["degree"] == out[n]["degree"]
+
+
+# ------------------------------------------------------- classification report
+def test_classification_report(ray_session):
+    from fastdup_ray.stages.metrics import classification_report
+
+    preds = rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(["a", "a", "a", "b", "b", "c"]),
+                "pred": pa.array(["a", "a", "b", "b", "a", "c"]),
+            }
+        )
+    )
+    rep = classification_report(preds).to_pandas().set_index("class")
+    # hand-computed: a: tp=2 fp=1 fn=1 -> p=2/3 r=2/3; b: tp=1 fp=1 fn=1 -> .5/.5
+    assert abs(rep.loc["a", "precision"] - 2 / 3) < 1e-6
+    assert abs(rep.loc["a", "recall"] - 2 / 3) < 1e-6
+    assert abs(rep.loc["b", "f1"] - 0.5) < 1e-6
+    assert rep.loc["c", "precision"] == 1.0 and rep.loc["c", "support"] == 1
+    assert abs(rep["accuracy"].iloc[0] - 4 / 6) < 1e-6
+
+
+# -------------------------------------------------------------- search shards
+def test_sharded_search_equals_single(ray_session):
+    from fastdup_ray.sources.pages import synthesize_pages
+    from fastdup_ray.stages.extract import HtmlExtractStage
+    from fastdup_ray.stages.signatures import SignStage
+    from fastdup_ray.state.search import build_search_index
+
+    cfg = DedupConfig()
+    pages, _ = synthesize_pages(300, seed=7)
+    docs = rd.from_arrow(HtmlExtractStage(cfg.min_text_len)(pages))
+    sigs = docs.map_batches(SignStage(cfg), batch_format="pyarrow").materialize()
+    single = build_search_index(sigs, cfg)
+    sharded = build_search_index(sigs, cfg, num_shards=4)
+    texts = [r["text"] for r in docs.limit(10).take_all()]
+    for t in texts:
+        a = ray.get(single.query_text.remote(t, 5))
+        b = sharded.query_text(t, 5)
+        assert a == b, (a, b)
+    st = sharded.stats()
+    assert st["n_docs"] > 0 and len(st["shards"]) == 4
+
+
+# ------------------------------------------------------------- substring runs
+def test_substring_reports_longest_of_multiple_runs(ray_session):
+    """ADVICE r1 (medium): when two docs share several distinct runs, the
+    reported pair must reflect a qualifying run even if another anchor
+    lands in a short run."""
+    from fastdup_ray.stages.substring import substring_pairs
+
+    rng = np.random.default_rng(3)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice(list("abcdefghijklmnopqrstuvwxyz ")) for _ in range(n)
+        )
+
+    short_run = rand_text(90)     # shared but < substring_len
+    long_run = rand_text(400)     # shared and >= substring_len
+    doc_a = short_run + rand_text(200) + long_run + rand_text(50)
+    doc_b = rand_text(120) + short_run + rand_text(333) + long_run
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([doc_a, doc_b]),
+        }
+    )
+    cfg = DedupConfig(substring_len=256, substring_sample_mod=4)
+    out = substring_pairs(rd.from_arrow(tbl), cfg).take_all()
+    assert len(out) == 1
+    assert out[0]["match_len"] >= 256
+
+
+# ------------------------------------------------------ annotations url keep
+def test_expand_annotations_keeps_phantom_url(ray_session):
+    from fastdup_ray.stages.annotations import ERR_MISSING_DOC, expand_annotations
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "url": pa.array(["u1", "u2"]),
+            }
+        )
+    )
+    annots = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["u2", "phantom://missing"]),
+                "label": pa.array(["x", "y"]),
+            }
+        )
+    )
+    rows = expand_annotations(docs, annots, num_partitions=4).take_all()
+    missing = [r for r in rows if r["annot_error"] == ERR_MISSING_DOC]
+    assert len(missing) == 1
+    # the dangling annotation keeps ITS url, not 'None'/'nan'
+    assert missing[0]["url"] == "phantom://missing"
+    assert missing[0]["label"] == "y"
+
+
+# -------------------------------------------------------------- stats parity
+def test_stats_vectorized_matches_scalar_reference():
+    from fastdup_ray.stages.stats import TextStatsStage
+
+    st = TextStatsStage()
+    rng = np.random.default_rng(11)
+    words = ["the", "cat", "123", "ünïté", "于", "der", "la", "data", "of"]
+    texts = ["", "  spaced   out  ", "这是中文测试" * 10, None, "x"]
+    texts += [
+        " ".join(rng.choice(words, size=rng.integers(0, 50)))
+        for _ in range(150)
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = st(batch).to_pandas()
+    names = ["n_chars", "n_tokens", "n_lines", "uniq_token_ratio",
+             "mean_word_len", "digit_ratio", "non_ascii_ratio",
+             "stopword_ratio", "lang_pred", "lang_score", "quality"]
+    for i, t in enumerate(texts):
+        ref = st._one(t or "")
+        for j, nm in enumerate(names):
+            got = out[nm][i]
+            if isinstance(ref[j], str):
+                assert got == ref[j], (i, nm)
+            else:
+                assert abs(float(got) - round(float(ref[j]), 6)) < 1e-9, (i, nm)
+
+
+# ----------------------------------------------------- e2e: outliers+galleries
+@pytest.fixture(scope="module")
+def r2_run(ray_session, tmp_path_factory):
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.sources.pages import synthesize_pages
+
+    pages, truth = synthesize_pages(600, seed=5)
+    work = tmp_path_factory.mktemp("r2work")
+    # file:// URI work_dir exercises the pyarrow.fs checkpoint path
+    pipe = NearDupPipeline(DedupConfig(num_partitions=4), work_dir=f"file://{work}")
+    res = pipe.run(rd.from_arrow(pages).repartition(4), input_token="r2", resume=False)
+    return {"res": res, "truth": truth, "work": str(work), "pipe": pipe}
+
+
+def test_file_uri_workdir_and_resume(r2_run):
+    import json
+    import os
+
+    work = r2_run["work"]
+    man = json.load(open(os.path.join(work, "docs", "manifest.json")))
+    assert man["rows"] > 0 and man["fingerprint"]
+    assert os.path.isdir(os.path.join(work, "docs", man["data_dir"]))
+    # resume through the file:// FS: same fingerprint -> checkpoint read
+    # back without running the build
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+
+    pipe2 = NearDupPipeline(r2_run["pipe"].cfg, work_dir=f"file://{work}")
+
+    def must_not_build():
+        raise AssertionError("build must not run on resume")
+
+    ds, fp = pipe2._stage("docs", ["r2"], must_not_build, resume=True)
+    assert fp == man["fingerprint"]
+    assert ds.count() == man["rows"]
+
+
+def test_outliers_schema_and_zero_candidate_docs(r2_run):
+    res = r2_run["res"]
+    out = res.outliers().take_all()
+    assert out, "outliers must not be empty on a corpus with unmatched docs"
+    cols = set(out[0].keys())
+    assert cols == {"src", "dst", "distance"}
+    # zero-candidate docs present with null neighbor and distance 0
+    unmatched = [r for r in out if r["dst"] is None]
+    assert unmatched and all(r["distance"] == 0.0 for r in unmatched)
+    # scored outliers keep their true nearest neighbor
+    scored = [r for r in out if r["dst"] is not None]
+    if scored:
+        pairs = res.pair_scores().take_all()
+        best = {}
+        for p in pairs:
+            for a, b in ((p["src"], p["dst"]), (p["dst"], p["src"])):
+                cur = best.get(a)
+                cand = (p["distance"], b)
+                if cur is None or cand[0] > cur[0] or (
+                    cand[0] == cur[0] and cand[1] < cur[1]
+                ):
+                    best[a] = cand
+        for r in scored:
+            assert best[r["src"]] == (r["distance"], r["dst"])
+
+
+def test_galleries(r2_run, tmp_path):
+    from fastdup_ray.pipelines.galleries import (
+        components_gallery,
+        duplicates_gallery,
+        outliers_gallery,
+        similarity_gallery,
+        stats_gallery,
+        write_all_galleries,
+    )
+
+    res = r2_run["res"]
+    dup = duplicates_gallery(res, 10)
+    assert len(dup) > 0 and (dup["distance"] >= 0.9).all()
+    assert (dup["src_text"].str.len() > 0).all()
+    comp = components_gallery(res, 10)
+    assert len(comp) > 0 and (comp["len"] >= 2).all()
+    outl = outliers_gallery(res, 10)
+    assert len(outl) > 0
+    stat = stats_gallery(res, "n_chars", 5)
+    assert len(stat) == 5 and stat["n_chars"].is_monotonic_decreasing
+    sim = similarity_gallery(res, 5)
+    assert len(sim) > 0 and all(len(x) >= 1 for x in sim["neighbor_ids"])
+    made = write_all_galleries(res, str(tmp_path / "gal"), num_rows=5)
+    import os
+
+    assert all(os.path.exists(p) for p in made.values())
+
+
+def test_slice_regex_and_two_labels(ray_session):
+    from fastdup_ray.stages.annotations import slice_by_label, slice_two_labels
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["http://a.com/x", "https://b.org/y", "http://c.com/z"]),
+                "lang": pa.array(["en", "de", "en"]),
+                "lang_nb": pa.array(["en", "en", "de"]),
+            }
+        )
+    )
+    got = slice_by_label(ds, "url", r"^https://", mode="regex").take_all()
+    assert [r["url"] for r in got] == ["https://b.org/y"]
+    same = slice_two_labels(ds, "lang", "lang_nb", mode="same").take_all()
+    assert [r["url"] for r in same] == ["http://a.com/x"]
+    diff = slice_two_labels(ds, "lang", "lang_nb", mode="diff").take_all()
+    assert len(diff) == 2
+
+
+def test_kmeans_assignments_and_cluster_vote(ray_session):
+    from fastdup_ray.stages.ann import (
+        cluster_label_vote,
+        kmeans_assignments,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(4)
+    # two well-separated blobs
+    a = rng.normal((5, 0, 0), 0.05, size=(20, 3))
+    b = rng.normal((0, 5, 0), 0.05, size=(20, 3))
+    vecs = np.vstack([a, b])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).materialize()
+    cent = train_ivf_centroids(ds, n_centroids=2, sample_rows=40, seed=1)
+    asg = kmeans_assignments(ds, cent).materialize()
+    rows = asg.take_all()
+    assert {r["vec_id"] for r in rows} == set(range(40))
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    # the two blobs separate perfectly
+    assert sorted(len(v) for v in by_cluster.values()) == [20, 20]
+    assert all(0 <= r["distance"] <= 1.0 for r in rows)
+
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "label": pa.array(["x"] * 20 + ["y"] * 20),
+            }
+        )
+    )
+    votes = cluster_label_vote(asg, labels, num_parts=4).take_all()
+    assert {v["label"] for v in votes} == {"x", "y"}
+    assert all(v["purity"] == 1.0 and v["votes"] == 20 for v in votes)
+
+
+def test_multimodal_plumbing(ray_session):
+    """Stubbed codec, real plumbing: schema, error codes, determinism,
+    actor-pool form, frame explosion, byte-identical near-dup pairing."""
+    from fastdup_ray.stages.multimodal import (
+        ERR_EMPTY_MEDIA,
+        FrameSampleStage,
+        MediaDecodeStage,
+        media_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(2)
+    blobs = [rng.bytes(500) for _ in range(10)]
+    payloads = blobs + [blobs[0], b""]  # one exact dup + one empty
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    # actor-pool form: callable CLASS + concurrency
+    decoded = ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).materialize()
+    rows = {r["media_id"]: r for r in decoded.take_all()}
+    assert len(rows) == len(payloads)
+    empty = rows[len(payloads) - 1]
+    assert not empty["is_valid"] and empty["error_code"] == ERR_EMPTY_MEDIA
+    dup, orig = rows[10], rows[0]
+    assert dup["is_valid"] and list(dup["feature"]) == list(orig["feature"])
+    assert len(orig["feature"]) == 64
+    assert abs(np.linalg.norm(np.asarray(orig["feature"])) - 1.0) < 1e-9
+
+    frames = decoded.map_batches(
+        FrameSampleStage(max_frames=4), batch_format="pyarrow"
+    ).take_all()
+    per_media = {}
+    for f in frames:
+        per_media.setdefault(f["media_id"], []).append(f["frame_no"])
+    assert len(per_media[0]) == min(rows[0]["n_frames"], 4)
+    assert sorted(per_media[0]) == list(range(len(per_media[0])))
+    assert empty["media_id"] not in per_media  # invalid rows emit no frames
+
+    pairs = media_near_dup_pairs(decoded).take_all()
+    assert any(
+        {p["src"], p["dst"]} == {0, 10} and p["distance"] == 1.0 for p in pairs
+    )
+
+
+def test_hierarchical_components(ray_session):
+    """Two-level fixture: components A (docs of theme X) and B (slightly
+    mutated theme X) must cluster together at the lower threshold; C
+    (different theme) must not."""
+    from fastdup_ray.stages.hierarchy import hierarchical_components
+
+    rng = np.random.default_rng(9)
+    base = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], 200))
+    other = " ".join(rng.choice(["omega", "sigma", "tau", "phi"], 200))
+    mut = base.replace("alpha", "alphaz", 3)  # ~ near-dup of base at 0.7+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array([base, base, mut, mut, other, other]),
+        }
+    )
+    comps = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "component_id": pa.array([1, 1, 3, 3, 5, 5], pa.int64()),
+        }
+    )
+    clusters, edges = hierarchical_components(
+        rd.from_arrow(docs), rd.from_arrow(comps),
+        DedupConfig(num_partitions=4), cluster_threshold=0.7,
+    )
+    cl = {r["component_id"]: r["cluster_id"] for r in clusters.take_all()}
+    assert set(cl) == {1, 3, 5}
+    assert cl[1] == cl[3] == 1, cl   # A and B merge (cluster = min comp id)
+    assert cl[5] == 5                # C stays apart
+    e = edges.take_all()
+    assert any(
+        {r["cluster_from"], r["cluster_to"]} == {1, 3} for r in e
+    )
