@@ -405,6 +405,27 @@ def q_substring_dup_pairs(sf_dir: str):
     return substring_pairs(_t(sf_dir, "documents", ["doc_id", "text"]), cfg)
 
 
+def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (exact, blocked all-pairs):
+    every (src < dst) vec pair with cosine >= threshold. The embedding
+    member of the dedup family (exact / MinHash / SimHash / n-gram /
+    substring / cosine); `cosine_dup_pairs` documents the blocked
+    distributed shape, IVF is the sublinear scale path."""
+    from fastdup_ray.stages.ann import cosine_dup_pairs
+
+    return cosine_dup_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=threshold
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS distance
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
 def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     """IVF approximate ANN (rows-only; recall vs the exact path is asserted
     in tests): seeded centroids, cell assignment, nprobe probing."""
@@ -1144,6 +1165,7 @@ def queries():
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "substring_dup_pairs": q_substring_dup_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
@@ -1171,6 +1193,7 @@ def oracle_sql():
         "prefix_dup_pairs": SQL_PREFIX_DUP_PAIRS,
         "token_totals": SQL_TOKEN_TOTALS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_topk": SQL_ANN_TOPK,
         "windowed_events": SQL_WINDOWED_EVENTS,
         "sessionize": SQL_SESSIONIZE,

@@ -143,11 +143,40 @@ def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64):
             return pa.Table.from_pandas(out, preserve_index=False)
         return out
 
-    return (
+    out = (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(run, batch_format="pandas")
     )
+    return drop_empty_blocks(out)
+
+
+def drop_empty_blocks(ds):
+    """Materialize `ds` and drop zero-row blocks.
+
+    Ray 2.49's sort-based shuffle emits one OUTPUT block per INPUT block:
+    with P partitions << input blocks, most outputs are empty zero-COLUMN
+    blocks that (a) lose the schema ("RefBundle with a different schema
+    ... new schema: ." warnings; acero join failures) and (b) compound
+    across iterative pipelines — a loop whose state passes through two
+    groupbys per round doubles its block count every round (measured:
+    3 -> 1023 blocks over 9 pagerank rounds, wall time growing 2x per
+    round from scheduler overhead alone). Pruning by block METADATA costs
+    one driver pass, moves no data, and bounds every consumer.
+    """
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        # all-empty: keep the materialized dataset (callers already
+        # handle schema-less empties via with_schema / empty_typed)
+        return mat
+    return rd.from_arrow_refs(refs)
 
 
 def distinct(ds, keys, *, num_parts: int = 64):
@@ -187,7 +216,7 @@ def empty_typed(schema_cols: dict):
     return rd.from_arrow(pa.table({k: pa.array([], t) for k, t in schema_cols.items()}))
 
 
-def with_schema(ds, cols: dict):
+def with_schema(ds, cols: dict, *, rename: dict | None = None):
     """Force every block to an exact Arrow schema.
 
     Sparse shuffles emit zero-row blocks WITHOUT columns ("RefBundle with
@@ -196,22 +225,43 @@ def with_schema(ds, cols: dict):
     can NOT fix this — it passes zero-row blocks through without calling
     the UDF — so this canonicalizes at the block level: one small remote
     task per block (scheduled data-local), dropping empty blocks.
+
+    `rename` maps input block column names to the output names in `cols`.
+    Do the rename HERE, not with `Dataset.rename_columns` on the result:
+    ray 2.49's rename on a from_arrow_refs dataset renames only some
+    blocks and `.schema()` keeps the old name (mixed-schema RefBundle
+    warning), which poisons downstream joins.
     """
     import ray
     import ray.data as rd
 
+    rename = rename or {}
     empty = pa.table({k: pa.array([], t) for k, t in cols.items()})
 
     @ray.remote
-    def canon(t: pa.Table) -> pa.Table:
+    def canon(t) -> pa.Table:
+        if not isinstance(t, pa.Table):  # pandas-format block
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_columns == 0:
             return empty
-        return pa.table({k: t[k].cast(v) for k, v in cols.items()})
+        src = {new: old for old, new in rename.items()}
+        return pa.table(
+            {k: t[src.get(k, k)].cast(v) for k, v in cols.items()}
+        )
 
-    refs = [canon.remote(r) for r in ds.materialize().to_arrow_refs()]
+    # prune zero-row blocks by metadata first: they are what makes
+    # Dataset.rename_columns / joins downstream unreliable (a zero-row
+    # block passes through a Project un-renamed), and they compound in
+    # iterative pipelines — see drop_empty_blocks.
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
     if not refs:
         return rd.from_arrow(empty)
-    return rd.from_arrow_refs(refs)
+    return rd.from_arrow_refs([canon.remote(r) for r in refs])
 
 
 def cogroup_anti_join(left, right, *, on: str, right_on: str | None = None,

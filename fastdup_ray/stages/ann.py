@@ -219,3 +219,91 @@ def ivf_topk(assigned, centroids: np.ndarray, query_ids, query_matrix,
 
     scored = assigned.map_batches(score, batch_format="pyarrow")
     return partitioned_groupby(scored, "query_id", final_topk, num_parts=16)
+
+
+def cosine_dup_pairs(ds, *, threshold: float = 0.4,
+                     embedding_col: str = "embedding", min_block_rows: int = 1024):
+    """Embedding-cosine near-duplicate pairs: every (src < dst) pair with
+    cosine similarity >= threshold, exact.
+
+    The blocked all-pairs baseline of the embedding near-dup family
+    (reference analog: fastdup's cosine similarity graph over CLIP
+    embeddings, /root/reference/fastdup/__init__.py:196-227 `run`'s
+    similarity step). Shape it for scale:
+
+    - vectors are L2-normalized ONCE in a map_batches pass and stored as
+      fixed_size_list<double> blocks in the object store;
+    - each unordered block pair (i <= j) becomes one Ray task doing a
+      single (m,d)@(d,n) matmul against the two zero-copy block refs —
+      no whole-table driver materialization, no O(n^2) memory;
+    - results come back as a Dataset via from_arrow_refs.
+
+    O(B^2) tasks / O(n^2) flops is inherent to the exact formulation;
+    `ivf_topk` / LSH is the sublinear path at billion-vector scale.
+    """
+    import ray.data as rd
+
+    def norm_block(batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch, embedding_col)
+        mn = _normalize(m)
+        d = mn.shape[1]
+        flat = pa.array(mn.reshape(-1), pa.float64())
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "nvec": pa.FixedSizeListArray.from_arrays(flat, d),
+        })
+
+    normed = ds.map_batches(norm_block, batch_format="pyarrow").materialize()
+    n = normed.count()
+    refs = [r for r in normed.to_arrow_refs()]
+    # bound the task count: B^2 tasks over tiny blocks is pure overhead
+    want = max(1, n // min_block_rows)
+    if len(refs) > want * 2:
+        normed = normed.repartition(want).materialize()
+        refs = [r for r in normed.to_arrow_refs()]
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        def unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            c = t["nvec"]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            d = c.type.list_size
+            m = c.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            return ids, m
+
+        ia, ma = unpack(ta)
+        ib, mb = unpack(tb)
+        if ia.shape[0] == 0 or ib.shape[0] == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "distance": pa.array([], pa.float64())})
+        cos = ma @ mb.T
+        hit = cos >= threshold
+        if same:
+            # only the strict upper triangle of the self-pair
+            hit &= ia[:, None] < ib[None, :]
+        else:
+            hit &= ia[:, None] != ib[None, :]
+        r, c = np.nonzero(hit)
+        src = np.minimum(ia[r], ib[c])
+        dst = np.maximum(ia[r], ib[c])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "distance": pa.array(np.round(cos[r, c], 6), pa.float64()),
+        })
+
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(block_pair.remote(refs[i], refs[j], i == j))
+    if not out_refs:
+        return rd.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "distance": pa.array([], pa.float64())}))
+    # cross-block ids can repeat only if vec_id repeats in the input;
+    # with unique ids every (src,dst) appears exactly once
+    return rd.from_arrow_refs(out_refs)

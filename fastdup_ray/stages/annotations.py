@@ -48,11 +48,15 @@ def expand_annotations(docs, annotations, *, num_partitions: int = 32):
             has_doc & ~has_annot, ERR_MISSING_ANNOTATION,
             np.where(~has_doc, ERR_MISSING_DOC, ""),
         )
-        # annotation-only rows have a null docs-side url; keep the
-        # annotation's own url so MISSING_DOC rows identify which
-        # annotation is dangling (reference _expand_annot_df keeps the
-        # annotation filename, fastdup_controller.py:1110-1224)
-        url = df["url"].where(df["url"].notna(), df["a_url"])
+        # annotation-only rows must keep the annotation's own url so
+        # MISSING_DOC rows identify which annotation is dangling
+        # (reference _expand_annot_df keeps the annotation filename,
+        # fastdup_controller.py:1110-1224). Ray's outer join coalesces
+        # the join key into the left name; fall back to a_url if a
+        # join path ever surfaces it separately.
+        url = df["url"]
+        if "a_url" in df.columns:
+            url = url.where(url.notna(), df["a_url"])
         out = {
             "url": url.astype(str),
             "doc_id": df["doc_id"].fillna(-1).astype(np.int64),

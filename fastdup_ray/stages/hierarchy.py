@@ -122,13 +122,16 @@ def hierarchical_components(docs, components, config: DedupConfig | None = None,
         return clusters, rd.from_arrow(empty_ed)
 
     labels = connected_components(edges, sub_cfg)  # (node, label)
-    labels = with_schema(labels, {"node": pa.int64(), "label": pa.int64()})
+    # rename inside with_schema (rename_columns on from_arrow_refs
+    # datasets is unreliable in ray 2.49 — see ops.with_schema)
+    labels = with_schema(labels, {"lnode": pa.int64(), "label": pa.int64()},
+                         rename={"node": "lnode"})
 
     # every component gets a cluster: clustered ones take their CC label,
     # singletons map to themselves (left join + coalesce)
     joined = cogroup_join(
         exemplar_ids,
-        labels.rename_columns({"node": "lnode"}),
+        labels,
         on="component_id", right_on="lnode", num_parts=cfg.num_partitions,
     ).map_batches(
         lambda b: pa.table(
@@ -142,7 +145,7 @@ def hierarchical_components(docs, components, config: DedupConfig | None = None,
     from fastdup_ray.relational.ops import cogroup_anti_join
 
     singletons = cogroup_anti_join(
-        exemplar_ids, labels, on="component_id", right_on="node",
+        exemplar_ids, labels, on="component_id", right_on="lnode",
         num_parts=cfg.num_partitions,
     ).map_batches(
         lambda b: pa.table(

@@ -145,10 +145,14 @@ def pagerank(edges, config: DedupConfig | None = None, *, damping: float = 0.85,
             joined.map_batches(contrib, batch_format="pyarrow"),
             "node", sum_in, num_parts=cfg.num_partitions,
         )
-        acc = with_schema(acc, {"node": pa.int64(), "c": pa.float64()})
+        # rename inside with_schema: Dataset.rename_columns on a
+        # from_arrow_refs dataset is unreliable in ray 2.49 (renames only
+        # some blocks; schema() keeps the old name)
+        acc = with_schema(acc, {"anode": pa.int64(), "c": pa.float64()},
+                          rename={"node": "anode"})
         merged = cogroup_join(
             state.rename_columns({"pr": "pr_old"}),
-            acc.rename_columns({"node": "anode"}),
+            acc,
             on="node", right_on="anode", num_parts=cfg.num_partitions,
         )
 

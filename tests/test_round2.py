@@ -462,3 +462,43 @@ def test_hierarchical_components(ray_session):
     assert any(
         {r["cluster_from"], r["cluster_to"]} == {1, 3} for r in e
     )
+
+
+def test_cosine_dup_pairs_exact_oracle(ray_session):
+    """Blocked all-pairs embedding-cosine dedup == dense numpy oracle,
+    including across-block pairs (forced small blocks)."""
+    from fastdup_ray.stages.ann import cosine_dup_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 16
+    m = rng.normal(size=(n, d))
+    # plant near-dup pairs well above the threshold
+    m[250] = m[10] + rng.normal(scale=0.01, size=d)
+    m[251] = m[20] * 3.0
+    ds = rd.from_arrow(
+        pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        })
+    ).repartition(6)
+
+    got = (
+        cosine_dup_pairs(ds, threshold=0.6, min_block_rows=32)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+
+    mf = m.astype(np.float32).astype(np.float64)
+    mn = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu = np.triu_indices(n, k=1)
+    keep = sims[iu] >= 0.6
+    import pandas as pd
+    want = pd.DataFrame({
+        "src": iu[0][keep].astype(np.int64),
+        "dst": iu[1][keep].astype(np.int64),
+        "distance": np.round(sims[iu][keep], 6),
+    }).sort_values(["src", "dst"]).reset_index(drop=True)
+
+    assert len(want) >= 2          # the planted pairs are in range
+    pd.testing.assert_frame_equal(got, want)
