@@ -28,6 +28,35 @@ import sys
 import time
 
 
+def host_probe() -> float:
+    """First-touch-write bandwidth probe (seconds to copy 100 MB into
+    fresh pages). On this sandbox's virtualized host, page-fault
+    servicing intermittently collapses to ~5 MB/s (measured: identical
+    memcpy 0.05 s vs 17.6 s minutes apart) while cached reads stay fast —
+    every allocation-heavy stage then reports 3-5x inflated walls.
+    Healthy is < ~0.5 s."""
+    import numpy as np
+
+    x = np.ones(100_000_000, np.uint8)
+    t0 = time.monotonic()
+    x.copy()
+    return time.monotonic() - t0
+
+
+def wait_for_healthy_host(max_wait_s: float = 900.0) -> float:
+    """Delay timing until the host's page-fault path is healthy (or the
+    budget runs out). Returns the last probe value; callers report it so
+    a degraded measurement is visibly flagged in the output JSON."""
+    deadline = time.monotonic() + max_wait_s
+    probe = host_probe()
+    while probe > 0.8 and time.monotonic() < deadline:
+        print(f"[bench] host degraded (memcpy100MB={probe:.2f}s); waiting",
+              file=sys.stderr)
+        time.sleep(60)
+        probe = host_probe()
+    return probe
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -78,6 +107,9 @@ def run_bench() -> dict:
     cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu)
     pipe = NearDupPipeline(cfg, work_dir=work_dir)
 
+    probe = wait_for_healthy_host(
+        float(os.environ.get("BENCH_HOST_WAIT_S", "900")))
+
     t0 = time.monotonic()
     res = pipe.run(pages_path=corpus_dir, input_token=f"bench-{ncpu}", resume=False)
     n_comp = res.connected_components().count()  # force the full chain
@@ -97,6 +129,7 @@ def run_bench() -> dict:
             "corpus_docs": n_docs,
             "docs_per_sec": round(n_docs / headline, 1),
             "clustered_docs": n_comp,
+            "host_probe_s": round(probe, 3),
         }
     bench_queries = [
         "doc_stats", "exact_dup_components", "lang_summary", "source_topk",
@@ -123,6 +156,7 @@ def run_bench() -> dict:
         "corpus_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "clustered_docs": n_comp,
+        "host_probe_s": round(probe, 3),
     }
 
 
@@ -164,6 +198,7 @@ def run_scaling() -> None:
         f"docs_per_sec_{hi}": best_hi["docs_per_sec"],
         f"all_sec_{lo}": [r["value"] for r in results[lo]],
         f"all_sec_{hi}": [r["value"] for r in results[hi]],
+        "host_probes": [r.get("host_probe_s") for r in results[lo] + results[hi]],
         "reps": reps,
         "sf": best_hi["sf"],
         "corpus_docs": best_hi["corpus_docs"],

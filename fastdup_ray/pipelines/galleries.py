@@ -196,9 +196,11 @@ def similarity_gallery(result, num_rows: int = 20, k: int = 5, *,
             scores, labels, num_parts=result.cfg.num_partitions
         ).limit(num_rows).take_all()
         keep = {int(r["doc_id"]) for r in scored}
-        head = [
-            r for r in per_doc.take_all() if int(r["node"]) in keep
-        ]
+        # filter inside the Dataset — per_doc is corpus-sized, the kept
+        # head is num_rows; collecting it all was a driver scale bug
+        from fastdup_ray.relational.ops import broadcast_semi_join
+
+        head = broadcast_semi_join(per_doc, "node", keep).take_all()
         score_of = {int(r["doc_id"]): r["label_score"] for r in scored}
     else:
         head = per_doc.sort(["best", "node"], descending=[True, False]).limit(

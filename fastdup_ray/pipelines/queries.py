@@ -101,6 +101,86 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component_id FROM documen
 """
 
 
+def q_dup_size_histogram(sf_dir: str):
+    """A3 analog (component size counts): distribution of duplicate-
+    cluster sizes — (size, n_components), size >= 2 — over shared-prefix
+    clusters (the fixtures contain prefix dups, not byte-identical
+    texts). Two partial aggregations: per-cluster count (hash-partitioned
+    by prefix key) then a tiny histogram groupby."""
+    from fastdup_ray.functions.hashing import id63
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {"key": pa.array(id63([t[:64] for t in texts]), pa.int64())}
+        )
+
+    ds = _t(sf_dir, "documents", ["text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", as_index=False, sort=False).size()
+        return g.rename(columns={"size": "sz"})
+
+    sized = partitioned_groupby(ds, "key", sizes)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sz"] >= 2]
+        g = df.groupby("sz", as_index=False, sort=False).size()
+        return g.rename(columns={"sz": "size", "size": "n_components"})
+
+    out = partitioned_groupby(sized, "sz", hist, num_parts=8)
+    from fastdup_ray.relational.ops import with_schema
+
+    # tiny result: canonicalize so an all-empty outcome still has the
+    # declared schema for the driver's compare
+    return with_schema(out, {"size": pa.int64(), "n_components": pa.int64()})
+
+
+SQL_DUP_SIZE_HISTOGRAM = """
+WITH comp AS (
+  SELECT count(*) AS size FROM documents GROUP BY substr(text, 1, 64)
+)
+SELECT size, count(*) AS n_components FROM comp WHERE size >= 2 GROUP BY size
+"""
+
+
+def q_recent_events(sf_dir: str):
+    """M19 recency selector: events within 7 days of the stream's max
+    timestamp -> per-type count + value sum. The cutoff is computed from
+    the data (tiny driver aggregate), the filter runs in the tasks."""
+    import datetime
+
+    from ray.data.aggregate import Max
+
+    ev = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    max_ts = ev.aggregate(Max("ts", alias_name="m"))["m"]
+    cutoff = max_ts - datetime.timedelta(days=7)
+
+    recent = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["ts"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False, sort=False).agg(
+            n=("value", "size"), value_sum=("value", "sum")
+        )
+        g["value_sum"] = np.round(g["value_sum"], 4)
+        return g
+
+    return partitioned_groupby(recent, "event_type", agg, num_parts=8)
+
+
+SQL_RECENT_EVENTS = """
+SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS value_sum
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------- lang summary
 def q_lang_summary(sf_dir: str):
     """A8/A9 analog: per-language corpus digest."""
@@ -424,6 +504,17 @@ SELECT a.vec_id AS src, b.vec_id AS dst,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """
+
+
+def q_doc_embeddings(sf_dir: str, dim: int = 32):
+    """M9 embedding-encoder analog (rows-only: hash-projection defined):
+    encode every document's text into a dim-wide embedding via the
+    actor-pool TextEmbedStage (encoder state once per actor)."""
+    from fastdup_ray.stages.embed import embed_documents
+
+    return embed_documents(
+        _t(sf_dir, "documents", ["doc_id", "text"]), dim=dim, concurrency=4
+    )
 
 
 def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
@@ -1166,6 +1257,9 @@ def queries():
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "substring_dup_pairs": q_substring_dup_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "doc_embeddings": q_doc_embeddings,
+        "dup_size_histogram": q_dup_size_histogram,
+        "recent_events": q_recent_events,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
@@ -1194,6 +1288,8 @@ def oracle_sql():
         "token_totals": SQL_TOKEN_TOTALS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+        "dup_size_histogram": SQL_DUP_SIZE_HISTOGRAM,
+        "recent_events": SQL_RECENT_EVENTS,
         "ann_topk": SQL_ANN_TOPK,
         "windowed_events": SQL_WINDOWED_EVENTS,
         "sessionize": SQL_SESSIONIZE,

@@ -95,7 +95,8 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
     )
 
 
-def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64):
+def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
+                        prune_empty: bool = False):
     """High-cardinality groupby: hash-partition by `keys`, then run ONE
     vectorized pandas aggregation per partition.
 
@@ -148,7 +149,14 @@ def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64):
         .groupby("part")
         .map_groups(run, batch_format="pandas")
     )
-    return drop_empty_blocks(out)
+    # prune_empty=True materializes and drops the empty output blocks the
+    # sort shuffle emits (one per INPUT block). Essential inside iterative
+    # loops (block counts compound exponentially otherwise) and before a
+    # rename_columns on the output (empty blocks skip the rename Project);
+    # left OFF by default because the materialization barrier costs
+    # streaming overlap in one-shot chains (measured 2.6x e2e on the
+    # bench pipeline when forced on everywhere).
+    return drop_empty_blocks(out) if prune_empty else out
 
 
 def drop_empty_blocks(ds):

@@ -94,7 +94,9 @@ def connected_components(edges, config: DedupConfig | None = None):
         g["label"] = np.minimum(g["node"].to_numpy(), g["nbr"].to_numpy())
         return g[["node", "label"]]
 
-    labels = partitioned_groupby(sym, "node", init_agg, num_parts=nparts).materialize()
+    labels = partitioned_groupby(
+        sym, "node", init_agg, num_parts=nparts, prune_empty=True
+    ).materialize()
 
     for _round in range(cfg.cc_max_rounds):
         nbr_side = labels.rename_columns({"node": "nbr_node", "label": "nbr_label"})
@@ -129,8 +131,11 @@ def connected_components(edges, config: DedupConfig | None = None):
                 {"node": g["node"], "label": g["label"], "changed": changed}
             )
 
+        # prune_empty: the loop state otherwise gains one (empty) block
+        # per input block every round — see ops.drop_empty_blocks
         resolved = partitioned_groupby(
-            edge_msgs.union(self_msgs), "node", resolve, num_parts=nparts
+            edge_msgs.union(self_msgs), "node", resolve, num_parts=nparts,
+            prune_empty=True,
         ).materialize()
         n_changed = resolved.aggregate(Sum("changed", alias_name="n"))["n"]
         labels = resolved.drop_columns(["changed"])

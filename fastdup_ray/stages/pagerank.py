@@ -25,7 +25,9 @@ import pandas as pd
 import pyarrow as pa
 
 from fastdup_ray.config import DedupConfig
-from fastdup_ray.relational.ops import cogroup_join, partitioned_groupby, with_schema
+from fastdup_ray.relational.ops import (
+    cogroup_join, drop_empty_blocks, partitioned_groupby, with_schema,
+)
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
@@ -169,9 +171,12 @@ def pagerank(edges, config: DedupConfig | None = None, *, damping: float = 0.85,
                 }
             )
 
-        nxt = merged.map_batches(update, batch_format="pyarrow").materialize()
+        # drop_empty_blocks, not bare materialize: each round's shuffles
+        # emit one (mostly empty) output block per input block, so the
+        # loop state otherwise doubles its block count every round
+        nxt = drop_empty_blocks(merged.map_batches(update, batch_format="pyarrow"))
         delta_col = nxt
-        state = nxt.select_columns(["node", "pr", "degree"]).materialize()
+        state = drop_empty_blocks(nxt.select_columns(["node", "pr", "degree"]))
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

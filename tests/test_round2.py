@@ -502,3 +502,36 @@ def test_cosine_dup_pairs_exact_oracle(ray_session):
 
     assert len(want) >= 2          # the planted pairs are in range
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_text_embed_stage(ray_session):
+    """M9 encoder: deterministic across runs/parallelism, near-identical
+    texts close in cosine, unrelated texts far."""
+    from fastdup_ray.stages.embed import embed_documents
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "the quick brown fox jumps over the lazy dog " * 20 + "tail!",
+        "completely different content about ray data pipelines " * 20,
+        "",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out1 = embed_documents(rd.from_arrow(tbl).repartition(2), dim=32,
+                           concurrency=2).to_pandas().sort_values("doc_id")
+    out2 = embed_documents(rd.from_arrow(tbl), dim=32,
+                           concurrency=1).to_pandas().sort_values("doc_id")
+    m1 = np.stack(out1["embedding"].to_numpy())
+    m2 = np.stack(out2["embedding"].to_numpy())
+    assert m1.shape == (4, 32)
+    np.testing.assert_array_equal(m1, m2)  # parallelism-invariant
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    assert cos(m1[0], m1[1]) > 0.99       # near-dup texts stay close
+    assert cos(m1[0], m1[2]) < 0.8        # unrelated texts are far
+    assert not m1[3].any()                # empty text -> zero vector
