@@ -80,11 +80,36 @@ def _dir_fingerprint(path: str) -> str:
 
 
 class NearDupPipeline:
-    def __init__(self, config: DedupConfig | None = None, work_dir: str = "/tmp/fastdup_ray_work"):
+    def __init__(self, config: DedupConfig | None = None,
+                 work_dir: str = "/tmp/fastdup_ray_work", *,
+                 hooks: dict | None = None, hooks_token: str | None = None):
+        """hooks (§2.12 extension points, the analog of the reference's
+        pluggable model/preprocessing callables, __init__.py:569-576):
+
+        - "post_extract": Dataset -> Dataset, applied to the docs table
+          inside the extract stage (custom filters/enrichment run and
+          checkpoint with the stage);
+        - "pre_components": Dataset -> Dataset, applied to the scored
+          edge table before thresholding + connected components.
+
+        hooks_token: stable identity string for the hook code, mixed
+        into stage fingerprints so resume never serves a checkpoint
+        produced by different hooks. Defaults to the sorted hook names —
+        pass an explicit version token when hook BEHAVIOR changes.
+        """
         self.cfg = config or DedupConfig()
         self.work_dir = work_dir
+        self.hooks = hooks or {}
+        self.hooks_token = (
+            hooks_token if hooks_token is not None
+            else "+".join(sorted(self.hooks))
+        )
         self._fs, self._root = _fs_and_path(work_dir)
         self._fs.create_dir(self._root, recursive=True)
+
+    def _hook(self, name: str, ds):
+        fn = self.hooks.get(name)
+        return fn(ds) if fn else ds
 
     # ------------------------------------------------------------------ stages
     def _stage(self, name: str, upstream_fps: list[str], build, *, resume: bool = True):
@@ -197,18 +222,23 @@ class NearDupPipeline:
                     f"already_extracted=True needs docs columns {sorted(need)}; "
                     f"missing {sorted(missing)}"
                 )
-            build_docs = lambda: pages  # noqa: E731
+            build_docs = lambda: self._hook("post_extract", pages)  # noqa: E731
         else:
             # instance => stateless elastic tasks; parser construction is
             # cheap, and a fixed-size actor pool only adds ramp-up latency
             # and CPU reservations here (heavy-state stages keep the
             # class/actor-pool form)
-            build_docs = lambda: pages.map_batches(  # noqa: E731
-                HtmlExtractStage(cfg.min_text_len),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+            build_docs = lambda: self._hook(  # noqa: E731
+                "post_extract",
+                pages.map_batches(
+                    HtmlExtractStage(cfg.min_text_len),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                ),
             )
-        docs, fp_docs = self._stage("docs", [input_token], build_docs, resume=resume)
+        docs, fp_docs = self._stage(
+            "docs", [input_token, self.hooks_token], build_docs, resume=resume
+        )
 
         sigs, fp_sigs = self._stage(
             "signatures", [fp_docs],
@@ -249,7 +279,7 @@ class NearDupPipeline:
         )
 
         def build_components():
-            edges = scores.map_batches(
+            edges = self._hook("pre_components", scores).map_batches(
                 lambda b: b.filter(
                     pa.compute.greater_equal(b["distance"], pa.scalar(cfg.cc_threshold))
                 ),
@@ -258,7 +288,8 @@ class NearDupPipeline:
             return connected_components(edges, cfg)
 
         comps, fp_comps = self._stage(
-            "components", [fp_scores], build_components, resume=resume
+            "components", [fp_scores, self.hooks_token], build_components,
+            resume=resume,
         )
 
         return NearDupResult(self, docs, sigs, pairs, scores, comps)

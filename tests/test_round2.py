@@ -535,3 +535,44 @@ def test_text_embed_stage(ray_session):
     assert cos(m1[0], m1[1]) > 0.99       # near-dup texts stay close
     assert cos(m1[0], m1[2]) < 0.8        # unrelated texts are far
     assert not m1[3].any()                # empty text -> zero vector
+
+
+def test_pipeline_hooks(ray_session, tmp_path):
+    """§2.12 extension hooks: post_extract runs inside the docs stage
+    (and checkpoints with it), pre_components filters edges before CC,
+    and the hooks token keys resume fingerprints."""
+    import pyarrow.compute as pc
+
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.sources.pages import synthesize_pages
+
+    pages, _ = synthesize_pages(200, seed=7)
+    wd = str(tmp_path / "wd")
+
+    def drop_fr(ds):
+        return ds.map_batches(
+            lambda b: b.filter(pc.not_equal(b["lang"], pa.scalar("fr"))),
+            batch_format="pyarrow",
+        )
+
+    base = NearDupPipeline(DedupConfig(), work_dir=wd).run(
+        rd.from_arrow(pages).repartition(4), input_token="hooks-t")
+    n_base = base.docs().count()
+    n_fr = base.docs().filter(lambda r: r["lang"] == "fr").count()
+
+    hooked = NearDupPipeline(
+        DedupConfig(), work_dir=wd, hooks={"post_extract": drop_fr},
+    ).run(rd.from_arrow(pages).repartition(4), input_token="hooks-t")
+    assert hooked.docs().count() == n_base - n_fr
+    assert hooked.docs().filter(lambda r: r["lang"] == "fr").count() == 0
+    # different hooks -> different fingerprint -> base checkpoint untouched
+    again = NearDupPipeline(DedupConfig(), work_dir=wd).run(
+        rd.from_arrow(pages).repartition(4), input_token="hooks-t")
+    assert again.docs().count() == n_base
+
+    # pre_components: drop every edge -> no components
+    none = NearDupPipeline(
+        DedupConfig(), work_dir=str(tmp_path / "wd2"),
+        hooks={"pre_components": lambda ds: ds.limit(0)},
+    ).run(rd.from_arrow(pages).repartition(4), input_token="hooks-t2")
+    assert none.connected_components().count() == 0
