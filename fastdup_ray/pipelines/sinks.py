@@ -70,3 +70,38 @@ def write_dedup_corpus(result, out_dir: str, *, num_partitions: int = 32) -> dic
     with open(os.path.join(out_dir, "_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     return summary
+
+
+def export_projector(embeddings, out_dir: str, *, max_rows: int = 900,
+                     label_col: str | None = None, seed: int = 42,
+                     embedding_col: str = "embedding",
+                     id_col: str = "vec_id") -> dict:
+    """O6/K7 analog of the reference's tensorboard projector export
+    (tensorboard_projector.py:16-171: sample <=900 embeddings + a labels
+    tsv): uniformly sample the embedding table, write `vectors.tsv`
+    (tab-separated floats, one row per vector) and `metadata.tsv` (id
+    [+ label]) — the format the tensorboard embedding projector loads
+    directly. Sampling happens in the Dataset; only <= max_rows reach
+    the driver."""
+    import numpy as np
+
+    n = embeddings.count()
+    frac = min(1.0, (max_rows * 1.25) / max(n, 1))
+    rows = embeddings.random_sample(frac, seed=seed).limit(max_rows).take_all()
+    rows.sort(key=lambda r: r[id_col])
+
+    os.makedirs(out_dir, exist_ok=True)
+    vec_path = os.path.join(out_dir, "vectors.tsv")
+    meta_path = os.path.join(out_dir, "metadata.tsv")
+    with open(vec_path, "w") as vf:
+        for r in rows:
+            vf.write("\t".join(repr(float(x)) for x in r[embedding_col]) + "\n")
+    with open(meta_path, "w") as mf:
+        if label_col:
+            mf.write(f"{id_col}\t{label_col}\n")
+            for r in rows:
+                mf.write(f"{r[id_col]}\t{r[label_col]}\n")
+        else:
+            for r in rows:
+                mf.write(f"{r[id_col]}\n")
+    return {"rows": len(rows), "vectors": vec_path, "metadata": meta_path}

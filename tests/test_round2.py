@@ -576,3 +576,47 @@ def test_pipeline_hooks(ray_session, tmp_path):
         hooks={"pre_components": lambda ds: ds.limit(0)},
     ).run(rd.from_arrow(pages).repartition(4), input_token="hooks-t2")
     assert none.connected_components().count() == 0
+
+
+def test_url_normalizers(ray_session):
+    """M11 normalizer library: canonical forms, domains, stems."""
+    from fastdup_ray.functions.urls import (
+        add_url_columns, domain_of, normalize_urls, path_stem,
+    )
+
+    urls = pa.array([
+        "HTTPS://Example.COM:443//a//b/page.HTML?utm_source=x&id=3#frag",
+        "http://site.org/path/",
+        "site.org/bare?gclid=zz",
+        "https://h.net/dir/file.tar.gz",
+        "",
+    ])
+    norm = normalize_urls(urls).to_pylist()
+    assert norm[0] == "https://example.com/a/b/page.HTML?id=3"
+    assert norm[1] == "http://site.org/path"
+    assert norm[2] == "site.org/bare"
+    assert norm[4] == ""
+    assert domain_of(urls).to_pylist()[:4] == [
+        "example.com", "site.org", "site.org", "h.net"]
+    assert path_stem(urls).to_pylist()[3] == "file.tar"
+
+    ds = rd.from_arrow(pa.table({"url": urls}))
+    out = add_url_columns(ds).to_pandas()
+    assert list(out.columns) == ["url", "url_norm", "domain", "stem"]
+    assert out["domain"].iloc[0] == "example.com"
+
+
+def test_export_projector(ray_session, tmp_path):
+    """O6 projector export: sampled vectors.tsv + metadata.tsv."""
+    from fastdup_ray.pipelines.sinks import export_projector
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = export_projector(ds, str(tmp_path / "proj"), max_rows=40,
+                           label_col="label")
+    assert out["rows"] == 40
+    vecs = open(out["vectors"]).read().strip().split("\n")
+    meta = open(out["metadata"]).read().strip().split("\n")
+    assert len(vecs) == 40 and len(meta) == 41  # header + rows
+    assert meta[0] == "vec_id\tlabel"
+    dims = {len(v.split("\t")) for v in vecs}
+    assert len(dims) == 1  # constant dimensionality
