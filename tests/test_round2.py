@@ -256,7 +256,9 @@ def test_file_uri_workdir_and_resume(r2_run):
     def must_not_build():
         raise AssertionError("build must not run on resume")
 
-    ds, fp = pipe2._stage("docs", ["r2"], must_not_build, resume=True)
+    # run() keys the docs fingerprint on [input_token, hooks_token]
+    ds, fp = pipe2._stage(
+        "docs", ["r2", pipe2.hooks_token], must_not_build, resume=True)
     assert fp == man["fingerprint"]
     assert ds.count() == man["rows"]
 
