@@ -14,22 +14,48 @@ from __future__ import annotations
 
 import numpy as np
 
-from fastdup_ray.functions.hashing import hash64_strings
+from fastdup_ray.functions.hashing import hash64_segmented, string_bytes_view
 
 
 def simhash64(texts) -> np.ndarray:
-    """uint64 fingerprint per text. Empty/whitespace-only texts -> 0."""
+    """uint64 fingerprint per text. Empty/whitespace-only texts -> 0.
+
+    Accepts a pyarrow string array (fast path) or a list of str. The whole
+    batch is tokenized by Arrow's C utf8_split_whitespace kernel (Unicode
+    whitespace, same class as str.split) and every token hashed in one
+    segmented numpy pass over the shared bytes buffer — no per-token
+    Python string is ever created.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(list(texts), type=pa.large_string())
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
-    tokens: list[str] = []
-    counts = np.zeros(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        tk = t.split()
-        counts[i] = len(tk)
-        tokens.extend(tk)
-    if not tokens:
+    if n == 0:
         return out
-    h = hash64_strings(tokens)
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    # list offsets -> raw (possibly empty-string) token counts per doc
+    loff = np.asarray(toks.offsets, dtype=np.int64)
+    raw_counts = np.diff(loff)
+    flat = toks.values  # flat token string array (offset 0, freshly built)
+    data, toff = string_bytes_view(flat)
+    tok_lens = np.diff(toff)
+    # Arrow's split emits empty tokens at edges / between whitespace runs;
+    # str.split() does not — drop them (zero-length, so hashing them first
+    # costs nothing).
+    keep = tok_lens > 0
+    h_all = hash64_segmented(data, toff)
+    h = h_all[keep]
+    doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), raw_counts)[keep]
+    counts = np.bincount(doc_of_tok, minlength=n).astype(np.int64)
+    if h.shape[0] == 0:
+        return out
     # (N, 64) bit matrix via one C unpackbits pass (the 64 strided uint64
     # shifts this replaces cost ~1 s per 100k tokens); int32 so the
     # per-doc reduceat can't overflow at large token counts. Bit order is

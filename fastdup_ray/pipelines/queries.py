@@ -80,7 +80,7 @@ def q_exact_dup_components(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "content_key": pa.array(id63(batch["text"].to_pylist()), pa.int64()),
+                "content_key": pa.array(id63(batch["text"]), pa.int64()),
             }
         )
 
@@ -553,7 +553,7 @@ def q_simhash_fingerprints(sf_dir: str):
     from fastdup_ray.functions.simhash import simhash64
 
     def fp(batch: pa.Table) -> pa.Table:
-        sh = simhash64(batch["text"].to_pylist())
+        sh = simhash64(batch["text"])
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(sh.view(np.int64), pa.int64())}
         )

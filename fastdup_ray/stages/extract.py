@@ -119,7 +119,7 @@ class HtmlExtractStage:
             texts.append(text)
             errors.append(err)
         is_valid = pa.array([e == ERR_OK for e in errors], pa.bool_())
-        doc_id = pa.array(id63(urls), pa.int64())
+        doc_id = pa.array(id63(batch["url"]), pa.int64())
         cols = {
             "doc_id": doc_id,
             "url": batch["url"],

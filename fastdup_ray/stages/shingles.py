@@ -25,7 +25,7 @@ class ShingleSetStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "is_valid" in batch.column_names:
             batch = batch.filter(batch["is_valid"])
-        texts = batch["text"].to_pylist()
+        texts = batch["text"]  # Arrow array — shingled zero-copy
         h, off = segmented_shingle_hashes(texts, self.cfg.shingle_size)
         sets: list[np.ndarray] = []
         keep = np.zeros(len(texts), dtype=bool)

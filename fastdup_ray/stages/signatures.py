@@ -34,7 +34,7 @@ class SignStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "is_valid" in batch.column_names:
             batch = batch.filter(batch["is_valid"])
-        texts = batch["text"].to_pylist()
+        texts = batch["text"]  # stays an Arrow array end-to-end (zero-copy)
         sig, n_shingles = self.mh.signatures(texts)
         sh = simhash64(texts)
         keep = n_shingles > 0
