@@ -130,3 +130,32 @@ def test_cli_end_to_end(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["total_docs"] == pages.num_rows
     assert summary["dedup"]["docs_kept"] > 0
+
+
+def test_cli_yaml_config_spec(tmp_path):
+    """S8 analog (reference __init__.py:305-329 yaml job spec): a YAML file
+    carries input/work_dir plus DedupConfig fields; explicit flags override."""
+    import pyarrow.parquet as pq
+
+    pages, _ = synthesize_pages(120, seed=11)
+    inp = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, inp)
+    spec = tmp_path / "job.yaml"
+    spec.write_text(
+        "input: %s\nwork_dir: %s\nthreshold: 0.8\nmin_text_len: 25\n"
+        % (inp, tmp_path / "wd")
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "fastdup_ray.cli", "run",
+         "--config", str(spec), "--threshold", "0.85", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["total_docs"] == pages.num_rows
+    # the config snapshot in the manifest shows yaml fields applied and
+    # the explicit flag winning over the file
+    manifest = json.loads((tmp_path / "wd" / "docs" / "manifest.json").read_text())
+    assert manifest["config"]["min_text_len"] == 25  # from yaml
+    assert manifest["config"]["threshold"] == 0.85  # flag overrides yaml
