@@ -77,18 +77,22 @@ class MinHasher:
                 rel = offsets[lo_doc : hi_doc + 1] - offsets[lo_doc]
                 docs_ne = np.nonzero(np.diff(rel) > 0)[0]
                 starts = rel[:-1][docs_ne]
+                rows = lo_doc + docs_ne
                 # a single doc can exceed the chunk budget (web pages > 64 KB
                 # are routine); size the scratch to the actual segment
                 if seg.shape[0] > tmp.shape[0]:
                     tmp = np.empty(seg.shape[0], dtype=np.uint64)
                 buf = tmp[: seg.shape[0]]
-                for p in range(self.num_perms):
-                    np.multiply(seg, self.a[p], out=buf)
-                    np.add(buf, self.b[p], out=buf)
-                    np.right_shift(buf, np.uint64(32), out=buf)
-                    sig[lo_doc + docs_ne, p] = np.minimum.reduceat(
-                        buf.astype(np.uint32), starts
-                    )
+                with np.errstate(over="ignore"):
+                    for p in range(self.num_perms):
+                        np.multiply(seg, self.a[p], out=buf)
+                        np.add(buf, self.b[p], out=buf)
+                        # x >> 32 is monotonic, so min(v) >> 32 == min(v >> 32):
+                        # reduce in uint64 and shift the tiny per-doc result —
+                        # two fewer full passes (shift + astype) per permutation
+                        sig[rows, p] = (
+                            np.minimum.reduceat(buf, starts) >> np.uint64(32)
+                        ).astype(np.uint32)
             lo_doc = hi_doc
         return sig, n_shingles
 
