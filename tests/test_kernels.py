@@ -155,3 +155,56 @@ def test_simhash_quarters_pigeonhole():
     qa, qb = simhash_quarters(fp)[0], simhash_quarters(flipped)[0]
     assert (qa == qb).sum() == 3  # three untouched quarters still collide
     assert hamming64(fp, flipped)[0] == 2
+
+
+def test_hash64_arrow_path_equals_list_path():
+    """The zero-copy Arrow string path must produce the same hashes as the
+    Python-list path (and the bytes fallback must honor str->utf8 parity)."""
+    import pyarrow as pa
+
+    strs = ["", "a", "hello world", "x" * 5000, "é中文 café", "tab\tsep", " lead"]
+    from_list = hash64_strings(strs)
+    from_arrow = hash64_strings(pa.array(strs, pa.string()))
+    from_large = hash64_strings(pa.array(strs, pa.large_string()))
+    assert np.array_equal(from_list, from_arrow)
+    assert np.array_equal(from_list, from_large)
+    # chunked + sliced arrays go through the same view
+    chunked = pa.chunked_array([strs[:3], strs[3:]], pa.string())
+    assert np.array_equal(from_list, hash64_strings(chunked))
+    sliced = pa.array(["pad"] + strs).slice(1)
+    assert np.array_equal(from_list, hash64_strings(sliced))
+    # bytes input hashes the raw bytes = utf-8 of the equivalent str
+    assert np.array_equal(
+        hash64_strings([s.encode("utf-8") for s in strs]), from_list
+    )
+
+
+def test_simhash_arrow_tokenizer_matches_str_split():
+    """simhash64's Arrow utf8_split_whitespace tokenization must agree with
+    a per-doc str.split() + per-token hash reference implementation."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    words = ["w%d" % i for i in range(200)] + ["été", "中文"]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 60))))
+        for _ in range(150)
+    ]
+    texts += ["", "   ", "\ta b\nc  ", " x y ", "one"]
+
+    def reference(ts):
+        out = np.zeros(len(ts), dtype=np.uint64)
+        for i, t in enumerate(ts):
+            tk = t.split()
+            if not tk:
+                continue
+            h = hash64_strings(tk)
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)
+            ones = bits.astype(np.int64).sum(axis=0)
+            fb = (2 * ones > len(tk)).astype(np.uint64)
+            out[i] = (fb << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+        return out
+
+    got = simhash64(texts)
+    assert np.array_equal(got, reference(texts))
+    assert np.array_equal(simhash64(pa.array(texts)), got)
