@@ -115,6 +115,18 @@ def run_bench() -> dict:
     n_comp = res.connected_components().count()  # force the full chain
     n_docs = res.docs().count()
     headline = time.monotonic() - t0
+    # exit probe: the host can collapse AFTER the entry probe; a rep is
+    # only trustworthy when both probes are healthy
+    probe_exit = host_probe()
+    # per-stage walls from the checkpoint manifests (reporting only)
+    stage_walls = {}
+    for stage in ("docs", "signatures", "shingles", "pairs",
+                  "pair_scores", "components"):
+        try:
+            man = json.load(open(os.path.join(work_dir, stage, "manifest.json")))
+            stage_walls[stage] = man.get("wall_s")
+        except (OSError, json.JSONDecodeError):
+            pass
 
     # ---- query suite (skip the O(sum df^2) ngram oracle query at bench
     # scale; it exists for the sf0.01 correctness gate) ----
@@ -130,6 +142,8 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 1),
             "clustered_docs": n_comp,
             "host_probe_s": round(probe, 3),
+            "host_probe_exit_s": round(probe_exit, 3),
+            "stage_walls": stage_walls,
         }
     bench_queries = [
         "doc_stats", "exact_dup_components", "lang_summary", "source_topk",
@@ -157,6 +171,8 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "clustered_docs": n_comp,
         "host_probe_s": round(probe, 3),
+        "host_probe_exit_s": round(probe_exit, 3),
+        "stage_walls": stage_walls,
     }
 
 
