@@ -1242,8 +1242,215 @@ def q_lang_confusion(sf_dir: str):
 
 
 # ----------------------------------------------------------------- catalogs
+# -------------------------------------------------- stats-join pre-filter
+def q_stats_filtered_dups(sf_dir: str, min_tokens: int = 40):
+    """M14 (stats-join pre-filter): duplicate candidate pairs kept only
+    when BOTH endpoints pass a stats threshold — the reference's
+    blur-threshold dup-report filter (galleries.py:341-347) with
+    n_tokens standing in for blur. Two hash joins pair<->stats; the
+    stats side is per-doc-small, the pair side is candidate-sized."""
+    from fastdup_ray.functions.hashing import id63
+    from fastdup_ray.relational.ops import with_schema
+    from fastdup_ray.stages.lsh import make_emit_partition
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(id63([t[:64] for t in texts]), pa.int64()),
+            }
+        )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = partitioned_groupby(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        make_emit_partition(max_bucket_pairs=1_000_000),
+    )
+    toks = docs.map_batches(
+        TextStatsStage(), batch_format="pyarrow", batch_size=2048
+    ).select_columns(["doc_id", "n_tokens"])
+    pairs = with_schema(pairs, {"src": pa.int64(), "dst": pa.int64()})
+    j = hash_join(
+        pairs, toks.rename_columns({"n_tokens": "src_tokens"}),
+        on="src", right_on="doc_id", num_partitions=8,
+    ).materialize()  # chained lazy acero joins trip field resolution (ray 2.49)
+    j = hash_join(
+        j, toks.rename_columns({"n_tokens": "dst_tokens"}),
+        on="dst", right_on="doc_id", num_partitions=8,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["src_tokens"], pa.scalar(min_tokens)),
+            pc.greater_equal(batch["dst_tokens"], pa.scalar(min_tokens)),
+        )
+        return batch.filter(m).select(["src", "dst", "src_tokens", "dst_tokens"])
+
+    return j.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_STATS_FILTERED_DUPS = r"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text)='' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       ta.n_tokens AS src_tokens, tb.n_tokens AS dst_tokens
+FROM documents a
+JOIN documents b ON substr(a.text,1,64) = substr(b.text,1,64) AND a.doc_id < b.doc_id
+JOIN toks ta ON ta.doc_id = a.doc_id
+JOIN toks tb ON tb.doc_id = b.doc_id
+WHERE ta.n_tokens >= 40 AND tb.n_tokens >= 40
+"""
+
+
+# ------------------------------------------------- component majority label
+def q_component_majority_label(sf_dir: str):
+    """A5 (majority vote per component) with a SQL oracle: shared-prefix
+    dup clusters (>=2 members), majority `lang` per cluster with
+    deterministic min-lang tiebreak — the label policy D5's keep-majority
+    delete uses. component_id = min doc_id (parallelism-invariant)."""
+    from fastdup_ray.functions.hashing import id63
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "bucket": pa.array(id63([t[:64] for t in texts]), pa.int64()),
+            }
+        )
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("bucket"):
+            if len(g) < 2:
+                continue
+            counts = g.groupby("lang").size()
+            top = counts[counts == counts.max()].index.min()
+            rows.append((int(g["doc_id"].min()), len(g), top))
+        return pd.DataFrame(
+            rows, columns=["component_id", "n_members", "majority_lang"]
+        ).astype({"component_id": np.int64, "n_members": np.int64})
+
+    return partitioned_groupby(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            keyed, batch_format="pyarrow"
+        ),
+        "bucket", vote, num_parts=8,
+    )
+
+
+SQL_COMPONENT_MAJORITY_LABEL = """
+WITH c AS (
+  SELECT doc_id, lang,
+         min(doc_id) OVER (PARTITION BY substr(text,1,64)) AS component_id,
+         count(*)    OVER (PARTITION BY substr(text,1,64)) AS n_members
+  FROM documents
+)
+SELECT component_id, n_members, majority_lang FROM (
+  SELECT component_id, n_members, lang AS majority_lang,
+         row_number() OVER (
+           PARTITION BY component_id ORDER BY count(*) DESC, lang ASC
+         ) AS rn
+  FROM c WHERE n_members >= 2
+  GROUP BY component_id, n_members, lang
+) WHERE rn = 1
+"""
+
+
+# ----------------------------------------------------------- URL normalizer
+def q_url_components(sf_dir: str):
+    """M11 (filename/url normalizers) differential test: construct a messy
+    URL per doc (mixed-case scheme+host, default port, duplicate slashes,
+    tracking params, fragment), then run the vectorized normalizer
+    library; the oracle constructs the expected canonical forms directly."""
+    from fastdup_ray.functions.urls import domain_of, normalize_urls, path_stem
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        urls = pa.array(
+            [
+                f"HTTP://{s.upper()}:80/Docs//{i}.html?utm_source=x&id={i}#frag"
+                for i, s in zip(ids, srcs)
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url_norm": normalize_urls(urls),
+                "domain": domain_of(urls),
+                "stem": path_stem(urls),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_URL_COMPONENTS = """
+SELECT doc_id,
+  'http://' || lower(source) || '/Docs/' || doc_id || '.html?id=' || doc_id AS url_norm,
+  lower(source) AS domain,
+  CAST(doc_id AS VARCHAR) AS stem
+FROM documents
+"""
+
+
+# ------------------------------------------------------- kNN neighbor lists
+def q_knn_lists(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """A2 (kNN grouping: per-query neighbor LISTS, galleries.py:1838-1850)
+    with a SQL oracle: the ann_topk result grouped per query into an
+    ordered comma-joined neighbor string (strings hash stably across the
+    driver's value compare; Arrow lists don't)."""
+    topk = q_ann_topk(sf_dir, n_queries=n_queries, k=k)
+
+    def to_list(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "query_id": [np.int64(g["query_id"].iloc[0])],
+                "neighbors": [",".join(g["neighbor_id"].astype(str))],
+                "mean_cosine": [round(float(g["cosine"].mean()), 5)],
+            }
+        )
+
+    return topk.groupby("query_id").map_groups(to_list, batch_format="pandas")
+
+
+SQL_KNN_LISTS = """
+WITH t AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) DESC,
+             e.vec_id ASC
+  ) <= 10
+)
+SELECT query_id,
+       string_agg(neighbor_id::VARCHAR, ',' ORDER BY cosine DESC, neighbor_id) AS neighbors,
+       ROUND(avg(cosine), 5) AS mean_cosine
+FROM t GROUP BY query_id
+"""
+
+
 def queries():
     return {
+        "stats_filtered_dups": q_stats_filtered_dups,
+        "component_majority_label": q_component_majority_label,
+        "url_components": q_url_components,
+        "knn_lists": q_knn_lists,
         "doc_stats": q_doc_stats,
         "exact_dup_components": q_exact_dup_components,
         "lang_summary": q_lang_summary,
@@ -1299,6 +1506,10 @@ def oracle_sql():
         "outliers": SQL_OUTLIERS,
         "label_score": SQL_LABEL_SCORE,
         "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+        "stats_filtered_dups": SQL_STATS_FILTERED_DUPS,
+        "component_majority_label": SQL_COMPONENT_MAJORITY_LABEL,
+        "url_components": SQL_URL_COMPONENTS,
+        "knn_lists": SQL_KNN_LISTS,
         # minhash_components / simhash_fingerprints: probabilistic or
         # hash-defined -> rows-only check by design
     }

@@ -26,6 +26,10 @@ CHECKED = [
     "customer_revenue_topk",
     "customers_without_orders",
     "pricing_summary",
+    "stats_filtered_dups",
+    "component_majority_label",
+    "url_components",
+    "knn_lists",
 ]
 
 
