@@ -1405,6 +1405,52 @@ FROM documents
 """
 
 
+# ------------------------------------------------------ kmeans assignments
+def q_kmeans_assign(sf_dir: str, n_centroids: int = 16):
+    """G6 (KMeans assignment artifact, reference kmeans_assignments.csv
+    `filename,cluster,distance`) with a SQL oracle: deterministic
+    centroids (the first n_centroids vectors, normalized), every row
+    assigned to its nearest centroid by cosine. The seeded-Lloyd trainer
+    (`train_ivf_centroids`) is exercised separately in tests; the oracle
+    pins the assign/artifact semantics."""
+    from fastdup_ray.stages.ann import _normalize, kmeans_assignments
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = sorted(
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_centroids))),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    out = kmeans_assignments(ds, cent)
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("cluster"), "cluster",
+            b["cluster"].cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KMEANS_ASSIGN = """
+WITH cent AS (
+  SELECT vec_id AS cluster, embedding FROM embeddings WHERE vec_id < 16
+)
+SELECT e.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5) AS distance
+FROM embeddings e JOIN cent c ON TRUE
+QUALIFY row_number() OVER (
+  PARTITION BY e.vec_id
+  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+           c.cluster ASC
+) = 1
+"""
+
+
 # ------------------------------------------------------- kNN neighbor lists
 def q_knn_lists(sf_dir: str, n_queries: int = 5, k: int = 10):
     """A2 (kNN grouping: per-query neighbor LISTS, galleries.py:1838-1850)
@@ -1451,6 +1497,7 @@ def queries():
         "component_majority_label": q_component_majority_label,
         "url_components": q_url_components,
         "knn_lists": q_knn_lists,
+        "kmeans_assign": q_kmeans_assign,
         "doc_stats": q_doc_stats,
         "exact_dup_components": q_exact_dup_components,
         "lang_summary": q_lang_summary,
@@ -1510,6 +1557,7 @@ def oracle_sql():
         "component_majority_label": SQL_COMPONENT_MAJORITY_LABEL,
         "url_components": SQL_URL_COMPONENTS,
         "knn_lists": SQL_KNN_LISTS,
+        "kmeans_assign": SQL_KMEANS_ASSIGN,
         # minhash_components / simhash_fingerprints: probabilistic or
         # hash-defined -> rows-only check by design
     }

@@ -30,6 +30,7 @@ CHECKED = [
     "component_majority_label",
     "url_components",
     "knn_lists",
+    "kmeans_assign",
 ]
 
 
