@@ -124,6 +124,15 @@ class NearDupPipeline:
         from pyarrow import fs as pafs
 
         fp = self.cfg.fingerprint(name, *upstream_fps)
+        enabled = (
+            self.cfg.checkpoint_stages is None
+            or name in self.cfg.checkpoint_stages
+        )
+        if not enabled:
+            # checkpoint opt-out: materialize once (multi-consumer safe,
+            # object-store-resident) but skip the Parquet write + manifest
+            # — not resumable, no stage IO (VERDICT r1 #7 follow-up)
+            return build().materialize(), fp
         stage_root = f"{self._root}/{name}"
         man_path = f"{stage_root}/manifest.json"
         data_dir = f"{stage_root}/data-{fp}"
