@@ -140,8 +140,13 @@ def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
         out = apply_fn(group.drop(columns=["part"]))
         if isinstance(out, pd.DataFrame):
             # emit Arrow blocks: several Dataset ops (rename_columns and
-            # other projections) assume Arrow-backed blocks
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # other projections) assume Arrow-backed blocks. Strip the
+            # pandas schema metadata — its nested dict defeats Ray's
+            # schema dedup (logs "Failed to hash the schemas" per block)
+            # and bloats every block header
+            return pa.Table.from_pandas(
+                out, preserve_index=False
+            ).replace_schema_metadata(None)
         return out
 
     out = (
