@@ -540,7 +540,10 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
 
 def q_text_quality(sf_dir: str):
-    """Language-ID + quality scoring (rows-only: heuristic-defined)."""
+    """Language-ID + quality scoring (SQL-oracled: the stopword-count
+    argmax, CJK override and Gopher-style quality formula are all
+    reproduced in SQL_TEXT_QUALITY, generated from the same stopword
+    dict the stage uses)."""
     stats = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         TextStatsStage(), batch_format="pyarrow", batch_size=2048
     )
@@ -1491,8 +1494,188 @@ FROM t GROUP BY query_id
 """
 
 
+# ----------------------------------------------------------- dedup survivors
+def q_dedup_survivors(sf_dir: str):
+    """D4/D6/K10 tier-dedup semantic with a SQL oracle: keep-first per
+    byte-identical content group (reference fastdup_controller delete
+    policy 'keep one per component') — one surviving doc_id (the min) per
+    distinct text, with the group size. Hash-partitioned single groupby;
+    no window, no global sort."""
+    from fastdup_ray.functions.hashing import id63
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "content_key": pa.array(id63(batch["text"]), pa.int64()),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_key", as_index=False).agg(
+            doc_id=("doc_id", "min"), group_size=("doc_id", "size")
+        )
+        return g[["doc_id", "group_size"]]
+
+    out = partitioned_groupby(ds, "content_key", survivors)
+    from fastdup_ray.relational.ops import with_schema
+
+    return with_schema(out, {"doc_id": pa.int64(), "group_size": pa.int64()})
+
+
+SQL_DEDUP_SURVIVORS = """
+SELECT min(doc_id) AS doc_id, count(*) AS group_size
+FROM documents GROUP BY text
+"""
+
+
+# ------------------------------------------------------- domain pair summary
+def q_domain_pair_summary(sf_dir: str):
+    """D7 analog (video-level dedup rollup) with a SQL oracle: prefix-dup
+    pairs joined to each endpoint's source ("domain"), canonicalized
+    BEFORE the shuffle (both orientations of a pair must land in one
+    partition), intra-domain pairs dropped, counted per (domain_a,
+    domain_b)."""
+    pairs = q_prefix_dup_pairs(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    edges = hash_join(
+        pairs,
+        docs.rename_columns({"doc_id": "d1", "source": "domain_src"}),
+        on="src", right_on="d1",
+    )
+    edges = hash_join(
+        edges,
+        docs.rename_columns({"doc_id": "d2", "source": "domain_dst"}),
+        on="dst", right_on="d2",
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(batch["domain_src"], batch["domain_dst"])
+        b = pc.max_element_wise(batch["domain_src"], batch["domain_dst"])
+        t = pa.table({"domain_a": a, "domain_b": b})
+        return t.filter(pc.not_equal(a, b))
+
+    canonical = edges.map_batches(canon, batch_format="pyarrow")
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["domain_a", "domain_b"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n_pairs"})
+
+    out = partitioned_groupby(canonical, ["domain_a", "domain_b"], count_pairs)
+    from fastdup_ray.relational.ops import with_schema
+
+    return with_schema(
+        out,
+        {"domain_a": pa.string(), "domain_b": pa.string(), "n_pairs": pa.int64()},
+    )
+
+
+SQL_DOMAIN_PAIR_SUMMARY = """
+WITH pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON substr(a.text, 1, 64) = substr(b.text, 1, 64) AND a.doc_id < b.doc_id
+),
+lab AS (
+  SELECT least(x.source, y.source) AS domain_a,
+         greatest(x.source, y.source) AS domain_b
+  FROM pairs p
+  JOIN documents x ON p.src = x.doc_id
+  JOIN documents y ON p.dst = y.doc_id
+)
+SELECT domain_a, domain_b, count(*) AS n_pairs
+FROM lab WHERE domain_a <> domain_b
+GROUP BY domain_a, domain_b
+"""
+
+
+def _sql_text_quality() -> str:
+    """SQL twin of TextStatsStage's lang-ID + quality columns. The
+    stopword IN-lists are generated from the SAME `_STOPWORDS` dict the
+    stage uses, so the two can never drift. Tie-break order in the CASE
+    chain = dict insertion order = the stage's argmax-first order."""
+    from fastdup_ray.stages.stats import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    hit_cols = ",\n    ".join(
+        "count(*) FILTER (WHERE tok IN ({})) AS h_{}".format(
+            ", ".join("'%s'" % w for w in sorted(_STOPWORDS[lang])), lang
+        )
+        for lang in langs
+    )
+    h_list = ", ".join(f"h_{l}" for l in langs)
+    coalesce = ",\n    ".join(f"coalesce(h.h_{l}, 0) AS h_{l}" for l in langs)
+    greatest = "greatest({})".format(
+        ", ".join(f"coalesce(h.h_{l}, 0)" for l in langs)
+    )
+    tie_chain = "\n       ".join(
+        f"WHEN h_{l} = best_hits THEN '{l}'" for l in langs[:-1]
+    )
+    uniq = "(CASE WHEN n_tokens > 0 THEN n_uniq::DOUBLE / n_tokens ELSE 0.0 END)"
+    mwl = "(CASE WHEN n_tokens > 0 THEN non_ws::DOUBLE / n_tokens ELSE 0.0 END)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END AS n_uniq,
+    length(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+h AS (
+  SELECT doc_id,
+    {hit_cols}
+  FROM tok WHERE tok <> '' GROUP BY doc_id
+),
+m AS (
+  SELECT b.doc_id, b.n_chars, b.n_tokens, b.n_uniq, b.non_ws, b.n_digits, b.n_cjk,
+    {coalesce},
+    {greatest} AS best_hits,
+    (b.n_chars > 0 AND b.n_cjk::DOUBLE / greatest(1, b.n_chars) > 0.05) AS is_zh
+  FROM base b LEFT JOIN h ON b.doc_id = h.doc_id
+)
+SELECT doc_id,
+  CASE WHEN n_chars = 0 THEN 'unknown'
+       WHEN is_zh THEN 'zh'
+       WHEN best_hits = 0 THEN 'unknown'
+       {tie_chain}
+       ELSE '{langs[-1]}' END AS lang_pred,
+  CASE WHEN n_chars = 0 THEN 0.0
+       WHEN is_zh THEN round(n_cjk::DOUBLE / n_chars, 6)
+       WHEN best_hits = 0 THEN 0.0
+       ELSE round(best_hits::DOUBLE / greatest(1, n_tokens), 6) END AS lang_score,
+  CASE WHEN n_chars = 0 OR is_zh OR best_hits = 0 THEN 0.0
+       ELSE round(best_hits::DOUBLE / greatest(1, n_tokens), 6) END AS stopword_ratio,
+  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+    round(least(1.0, greatest(0.0,
+      (CASE WHEN n_tokens < 50 THEN n_tokens::DOUBLE / 50.0 ELSE 1.0 END)
+      * (CASE WHEN {uniq} < 0.3 THEN {uniq} / 0.3 ELSE 1.0 END)
+      * (CASE WHEN {mwl} < 2.0 OR {mwl} > 12.0 THEN 0.5 ELSE 1.0 END)
+      * (CASE WHEN n_digits::DOUBLE / greatest(1, n_chars) > 0.2 THEN 0.5 ELSE 1.0 END)
+    )), 6) END AS quality
+FROM m
+"""
+
+
+SQL_TEXT_QUALITY = _sql_text_quality()
+
+
 def queries():
     return {
+        "dedup_survivors": q_dedup_survivors,
+        "domain_pair_summary": q_domain_pair_summary,
         "stats_filtered_dups": q_stats_filtered_dups,
         "component_majority_label": q_component_majority_label,
         "url_components": q_url_components,
@@ -1533,6 +1716,9 @@ def queries():
 
 def oracle_sql():
     return {
+        "dedup_survivors": SQL_DEDUP_SURVIVORS,
+        "domain_pair_summary": SQL_DOMAIN_PAIR_SUMMARY,
+        "text_quality": SQL_TEXT_QUALITY,
         "doc_stats": SQL_DOC_STATS,
         "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
         "lang_summary": SQL_LANG_SUMMARY,

@@ -62,11 +62,20 @@ def domain_pair_summary(result, *, num_partitions: int = 32):
         on="dst", right_on="d2", num_partitions=num_partitions,
     )
 
+    # canonicalize BEFORE the shuffle: the two orientations of a domain
+    # pair ((A,B) and (B,A)) must hash to the same partition or the
+    # groupby emits duplicate partial rows
+    def canon(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = pc.min_element_wise(batch["domain_src"], batch["domain_dst"])
+        b = pc.max_element_wise(batch["domain_src"], batch["domain_dst"])
+        t = batch.append_column("domain_a", a).append_column("domain_b", b)
+        return t.filter(pc.not_equal(a, b))  # drop intra-domain edges
+
+    edges = edges.map_batches(canon, batch_format="pyarrow")
+
     def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        a = np.minimum(df["domain_src"], df["domain_dst"])
-        b = np.maximum(df["domain_src"], df["domain_dst"])
-        df = df.assign(domain_a=a, domain_b=b)
-        df = df[df["domain_a"] != df["domain_b"]]  # drop intra-domain edges
         if df.empty:
             return pd.DataFrame(
                 {"domain_a": [], "domain_b": [], "best_distance": [], "n_edges": []}
@@ -77,7 +86,7 @@ def domain_pair_summary(result, *, num_partitions: int = 32):
         return g
 
     return partitioned_groupby(
-        edges, ["domain_src", "domain_dst"], summarize, num_parts=num_partitions
+        edges, ["domain_a", "domain_b"], summarize, num_parts=num_partitions
     )
 
 

@@ -31,6 +31,9 @@ CHECKED = [
     "url_components",
     "knn_lists",
     "kmeans_assign",
+    "dedup_survivors",
+    "domain_pair_summary",
+    "text_quality",
 ]
 
 
