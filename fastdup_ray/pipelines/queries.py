@@ -1184,7 +1184,9 @@ FROM documents
 # -------------------------------------------------------- graph extras (G5/G9)
 def q_pagerank(sf_dir: str):
     """G5 PageRank + degree over the deterministic prefix-bucket pair
-    graph (rows-only: fixed-iteration power-iteration values)."""
+    graph, SQL-oracled: the stage rounds each iteration's pr to 12 dp,
+    which makes the fixed-iteration power iteration independent of
+    summation order, so a DuckDB recursive CTE reproduces it exactly."""
     from fastdup_ray.functions.hashing import id63
     from fastdup_ray.stages.lsh import make_emit_partition
     from fastdup_ray.stages.pagerank import pagerank
@@ -1205,6 +1207,44 @@ def q_pagerank(sf_dir: str):
         "bucket", make_emit_partition(max_bucket_pairs=1_000_000),
     )
     return pagerank(pairs, DedupConfig())
+
+
+SQL_PAGERANK = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON substr(a.text, 1, 64) = substr(b.text, 1, 64) AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT src AS u, dst AS v FROM pairs
+  UNION ALL SELECT dst AS u, src AS v FROM pairs
+),
+deg AS (SELECT u AS node, count(*) AS degree FROM sym GROUP BY u),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+iter(i, node, pr) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM deg
+  UNION ALL
+  SELECT s.i + 1, s.v,
+         round((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * s.acc, 12)
+  FROM (
+    SELECT it.i AS i, sym.v AS v, sum(it.pr / d.degree) AS acc
+    FROM iter it
+    JOIN sym ON sym.u = it.node
+    JOIN deg d ON d.node = it.node
+    WHERE it.i < 10
+    GROUP BY it.i, sym.v
+  ) s
+)
+SELECT f.node,
+       round(f.pr, 10) AS pagerank,
+       round(abs(f.pr - p.pr), 10) AS delta,
+       d.degree
+FROM iter f
+JOIN iter p ON p.node = f.node AND p.i = 9
+JOIN deg d ON d.node = f.node
+WHERE f.i = 10
+"""
 
 
 def q_hierarchical_components(sf_dir: str):
@@ -1719,6 +1759,7 @@ def oracle_sql():
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "domain_pair_summary": SQL_DOMAIN_PAIR_SUMMARY,
         "text_quality": SQL_TEXT_QUALITY,
+        "pagerank": SQL_PAGERANK,
         "doc_stats": SQL_DOC_STATS,
         "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
         "lang_summary": SQL_LANG_SUMMARY,

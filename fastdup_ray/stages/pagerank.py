@@ -53,7 +53,10 @@ def _pagerank_driver(u: np.ndarray, v: np.ndarray, damping: float, iters: int):
         contrib = pr[ui] / deg[ui]
         acc = np.zeros(n)
         np.add.at(acc, vi, contrib)
-        new = base + damping * acc
+        # per-iteration 12-dp rounding: makes the fixed-point independent
+        # of summation order, so driver, distributed and SQL-oracle paths
+        # all produce bit-identical values
+        new = np.round(base + damping * acc, 12)
         delta = np.abs(new - pr)
         pr = new
     return nodes, pr, delta, deg.astype(np.int64)
@@ -161,7 +164,7 @@ def pagerank(edges, config: DedupConfig | None = None, *, damping: float = 0.85,
         def update(batch: pa.Table) -> pa.Table:
             old = batch["pr_old"].to_numpy(zero_copy_only=False)
             c = batch["c"].to_numpy(zero_copy_only=False)
-            new = base + damping * c
+            new = np.round(base + damping * c, 12)  # see _pagerank_driver
             return pa.table(
                 {
                     "node": batch["node"],

@@ -34,6 +34,7 @@ CHECKED = [
     "dedup_survivors",
     "domain_pair_summary",
     "text_quality",
+    "pagerank",
 ]
 
 
