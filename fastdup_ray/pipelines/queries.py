@@ -1262,9 +1262,10 @@ def q_hierarchical_components(sf_dir: str):
 
 
 def q_lang_confusion(sf_dir: str):
-    """A10 classification report (rows-only: lang_pred is heuristic):
-    per-class precision/recall/F1 of the heuristic language-ID against
-    the documents table's lang column."""
+    """A10 classification report, SQL-oracled: per-class
+    precision/recall/F1 of the heuristic language-ID against the
+    documents table's lang column (SQL_LANG_CONFUSION reproduces both
+    the lang-ID and the report math)."""
     from fastdup_ray.stages.metrics import classification_report
 
     stats = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1633,11 +1634,12 @@ GROUP BY domain_a, domain_b
 """
 
 
-def _sql_text_quality() -> str:
-    """SQL twin of TextStatsStage's lang-ID + quality columns. The
-    stopword IN-lists are generated from the SAME `_STOPWORDS` dict the
-    stage uses, so the two can never drift. Tie-break order in the CASE
-    chain = dict insertion order = the stage's argmax-first order."""
+def _sql_lang_parts() -> tuple[str, str]:
+    """Shared SQL building blocks for the lang-ID twin: (CTE chain ending
+    in `m`, the lang_pred CASE expression over `m`). The stopword
+    IN-lists are generated from the SAME `_STOPWORDS` dict the stage
+    uses, so the two can never drift. Tie-break order in the CASE chain =
+    dict insertion order = the stage's argmax-first order."""
     from fastdup_ray.stages.stats import _STOPWORDS
 
     langs = list(_STOPWORDS)
@@ -1647,7 +1649,6 @@ def _sql_text_quality() -> str:
         )
         for lang in langs
     )
-    h_list = ", ".join(f"h_{l}" for l in langs)
     coalesce = ",\n    ".join(f"coalesce(h.h_{l}, 0) AS h_{l}" for l in langs)
     greatest = "greatest({})".format(
         ", ".join(f"coalesce(h.h_{l}, 0)" for l in langs)
@@ -1655,10 +1656,12 @@ def _sql_text_quality() -> str:
     tie_chain = "\n       ".join(
         f"WHEN h_{l} = best_hits THEN '{l}'" for l in langs[:-1]
     )
-    uniq = "(CASE WHEN n_tokens > 0 THEN n_uniq::DOUBLE / n_tokens ELSE 0.0 END)"
-    mwl = "(CASE WHEN n_tokens > 0 THEN non_ws::DOUBLE / n_tokens ELSE 0.0 END)"
-    return f"""
-WITH base AS (
+    lang_case = f"""CASE WHEN n_chars = 0 THEN 'unknown'
+       WHEN is_zh THEN 'zh'
+       WHEN best_hits = 0 THEN 'unknown'
+       {tie_chain}
+       ELSE '{langs[-1]}' END"""
+    ctes = f"""base AS (
   SELECT doc_id, text,
     length(text) AS n_chars,
     CASE WHEN trim(text) = '' THEN 0
@@ -1685,13 +1688,19 @@ m AS (
     {greatest} AS best_hits,
     (b.n_chars > 0 AND b.n_cjk::DOUBLE / greatest(1, b.n_chars) > 0.05) AS is_zh
   FROM base b LEFT JOIN h ON b.doc_id = h.doc_id
-)
+)"""
+    return ctes, lang_case
+
+
+def _sql_text_quality() -> str:
+    """SQL twin of TextStatsStage's lang-ID + quality columns."""
+    ctes, lang_case = _sql_lang_parts()
+    uniq = "(CASE WHEN n_tokens > 0 THEN n_uniq::DOUBLE / n_tokens ELSE 0.0 END)"
+    mwl = "(CASE WHEN n_tokens > 0 THEN non_ws::DOUBLE / n_tokens ELSE 0.0 END)"
+    return f"""
+WITH {ctes}
 SELECT doc_id,
-  CASE WHEN n_chars = 0 THEN 'unknown'
-       WHEN is_zh THEN 'zh'
-       WHEN best_hits = 0 THEN 'unknown'
-       {tie_chain}
-       ELSE '{langs[-1]}' END AS lang_pred,
+  {lang_case} AS lang_pred,
   CASE WHEN n_chars = 0 THEN 0.0
        WHEN is_zh THEN round(n_cjk::DOUBLE / n_chars, 6)
        WHEN best_hits = 0 THEN 0.0
@@ -1710,6 +1719,53 @@ FROM m
 
 
 SQL_TEXT_QUALITY = _sql_text_quality()
+
+
+def _sql_lang_confusion() -> str:
+    """SQL twin of q_lang_confusion: lang_pred (shared lang-ID CTEs)
+    joined to the true lang column, rolled into the per-class
+    precision/recall/F1/support/accuracy report — mirroring
+    `metrics.classification_report` exactly (f1 from UNROUNDED p and r;
+    all output floats rounded 6 dp)."""
+    ctes, lang_case = _sql_lang_parts()
+    return f"""
+WITH {ctes},
+pred AS (SELECT doc_id, {lang_case} AS lang_pred FROM m),
+j AS (
+  SELECT d.lang AS label, p.lang_pred AS pred
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+cls AS (SELECT label AS class FROM j UNION SELECT pred FROM j),
+agg AS (
+  SELECT c.class,
+    (SELECT count(*) FROM j WHERE j.label = c.class AND j.pred = c.class) AS tp,
+    (SELECT count(*) FROM j WHERE j.pred = c.class AND j.label <> c.class) AS fp,
+    (SELECT count(*) FROM j WHERE j.label = c.class AND j.pred <> c.class) AS fn
+  FROM cls c
+),
+rates AS (
+  SELECT class, tp, fp, fn,
+    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END AS p_raw,
+    CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END AS r_raw
+  FROM agg
+),
+tot AS (
+  SELECT count(*) AS total, count(*) FILTER (WHERE label = pred) AS correct
+  FROM j
+)
+SELECT class,
+  round(p_raw, 6) AS precision,
+  round(r_raw, 6) AS recall,
+  round(CASE WHEN p_raw + r_raw > 0
+             THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1,
+  tp + fn AS support,
+  (SELECT CASE WHEN total > 0 THEN round(correct::DOUBLE / total, 6)
+               ELSE 0.0 END FROM tot) AS accuracy
+FROM rates
+"""
+
+
+SQL_LANG_CONFUSION = _sql_lang_confusion()
 
 
 def queries():
@@ -1760,6 +1816,7 @@ def oracle_sql():
         "domain_pair_summary": SQL_DOMAIN_PAIR_SUMMARY,
         "text_quality": SQL_TEXT_QUALITY,
         "pagerank": SQL_PAGERANK,
+        "lang_confusion": SQL_LANG_CONFUSION,
         "doc_stats": SQL_DOC_STATS,
         "exact_dup_components": SQL_EXACT_DUP_COMPONENTS,
         "lang_summary": SQL_LANG_SUMMARY,

@@ -35,6 +35,7 @@ CHECKED = [
     "domain_pair_summary",
     "text_quality",
     "pagerank",
+    "lang_confusion",
 ]
 
 
