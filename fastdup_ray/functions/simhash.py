@@ -56,20 +56,28 @@ def simhash64(texts) -> np.ndarray:
     counts = np.bincount(doc_of_tok, minlength=n).astype(np.int64)
     if h.shape[0] == 0:
         return out
-    # (N, 64) bit matrix via one C unpackbits pass (the 64 strided uint64
-    # shifts this replaces cost ~1 s per 100k tokens); int32 so the
-    # per-doc reduceat can't overflow at large token counts. Bit order is
-    # unpackbits' byte-wise big-endian — any fixed order is fine, hamming
-    # distances and quarter structure are order-invariant.
-    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
-    nonempty = counts > 0
-    ones = np.add.reduceat(bits, offsets[nonempty], axis=0)
-    # majority vote: bit set iff strictly more ones than zeros
-    fp_bits = (2 * ones > counts[nonempty, None]).astype(np.uint64)
-    fps = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = fps
+    # Per-doc bit votes: 64 weighted bincounts over the token->doc map.
+    # This replaces an unpackbits + add.reduceat(axis=0) pass, which was
+    # 4x slower (reduceat's axis-0 inner loop is strided) and allocated a
+    # (tokens, 64) bit matrix — ~64 B per text byte, hundreds of MB per
+    # batch. Column order keeps unpackbits' byte-wise big-endian layout
+    # (bit 8*(c//8) + 7-c%8 of the hash votes for output bit c) so
+    # fingerprint VALUES are bit-identical to the previous kernel — the
+    # fixed test vectors and any checkpointed simhash columns survive.
+    # The mapping permutes only within bytes, so quarters/hamming were
+    # never at risk; value identity is for checkpoint compatibility.
+    ones = np.empty((n, 64), dtype=np.int64)
+    one = np.uint64(1)
+    for c in range(64):
+        b = np.uint64(8 * (c // 8) + (7 - c % 8))
+        w = ((h >> b) & one).astype(np.float64)
+        ones[:, c] = np.bincount(doc_of_tok, weights=w, minlength=n)
+    # majority vote: bit set iff strictly more ones than zeros (empty
+    # docs have counts 0 -> all bits 0 -> fingerprint 0)
+    fp_bits = (2 * ones > counts[:, None]).astype(np.uint64)
+    out = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
     return out
 
 
