@@ -222,7 +222,13 @@ def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     )
 
 
-_EXACT_CHUNK_ELEMS = 4_000_000  # per-subchunk gather budget (uint64 keys, ~64 MB)
+# Per-subchunk gather budget. Deliberately small (~2 MB of uint64 keys):
+# the scratch arrays are then served from the malloc arena and REUSED
+# across subchunks instead of being mmap'd fresh and munmap'd on free —
+# repeated multi-MB fresh allocations pay the OS page-fault (first-touch)
+# cost on every batch, which dominates the kernel when many tasks
+# allocate concurrently. Same total work; better cache locality too.
+_EXACT_CHUNK_ELEMS = 256_000
 
 
 def _exact_scores_block(vals_a, sa, ea, vals_b, sb, eb, out, out_rows) -> None:
@@ -327,9 +333,17 @@ def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
                 ok = (ea - sa == P) & (eb - sb == P)
                 if ok.any():
                     gi = np.arange(P, dtype=np.int64)
-                    A = idx_s.values[sa[ok, None] + gi]
-                    B = idx_d.values[sb[ok, None] + gi]
-                    dist[rows[ok]] = (A == B).mean(axis=1)
+                    ok_rows = rows[ok]
+                    sa_ok = sa[ok]
+                    sb_ok = sb[ok]
+                    # slab the (n, P) gathers to ~2 MB so the scratch
+                    # stays in the malloc arena (see _EXACT_CHUNK_ELEMS)
+                    step = max(1, 500_000 // P)
+                    for lo2 in range(0, sa_ok.shape[0], step):
+                        sl = slice(lo2, lo2 + step)
+                        A = idx_s.values[sa_ok[sl, None] + gi]
+                        B = idx_d.values[sb_ok[sl, None] + gi]
+                        dist[ok_rows[sl]] = (A == B).mean(axis=1)
             else:
                 _exact_scores_block(
                     idx_s.values, sa, ea, idx_d.values, sb, eb, dist, rows
