@@ -96,7 +96,7 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
 
 
 def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
-                        prune_empty: bool = False):
+                        prune_empty: bool = False, batch_format: str = "pandas"):
     """High-cardinality groupby: hash-partition by `keys`, then run ONE
     vectorized pandas aggregation per partition.
 
@@ -111,6 +111,11 @@ def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
     apply_fn: pandas DataFrame (one whole hash partition, `part` column
     already dropped) -> pandas DataFrame. It must itself group by `keys`
     (e.g. df.groupby(keys).agg(...)); partitions are disjoint by key.
+
+    batch_format="pyarrow" hands apply_fn the partition as a pa.Table
+    (and expects one back) — callers whose partitions carry cheap
+    all-null padding columns (cogroup_join) use it to filter/project in
+    Arrow before any pandas materialization.
     """
     import numpy as np
 
@@ -136,7 +141,9 @@ def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
         part = (h % P).astype(np.int32)
         return batch.append_column("part", pa.array(part, pa.int32()))
 
-    def run(group: pd.DataFrame):
+    def run(group):
+        if batch_format == "pyarrow":
+            return apply_fn(group.drop_columns(["part"]))
         out = apply_fn(group.drop(columns=["part"]))
         if isinstance(out, pd.DataFrame):
             # emit Arrow blocks: several Dataset ops (rename_columns and
@@ -152,7 +159,7 @@ def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
     out = (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(run, batch_format="pandas")
+        .map_groups(run, batch_format=batch_format)
     )
     # prune_empty=True materializes and drops the empty output blocks the
     # sort shuffle emits (one per INPUT block). Essential inside iterative
@@ -366,12 +373,19 @@ def cogroup_join(left, right, *, on: str, right_on: str, num_parts: int = 64):
     l_payload = [k for k in lcols if k != on]
     r_payload = list(payload_r)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lp = df[df["__side"] == 0]
-        rp = df[df["__side"] == 1]
-        out = lp[["__key"] + l_payload].merge(
-            rp[["__key"] + r_payload], on="__key", how="inner"
-        )
-        return out.rename(columns={"__key": on})
+    def merge(t: pa.Table) -> pa.Table:
+        # filter/project in Arrow FIRST: each side's padding columns are
+        # all-null (validity-bitmap-only) until pandas materializes them —
+        # converting the full union-schema partition would allocate
+        # n x padded-width of NaNs per partition (VERDICT r1 #10)
+        lmask = pc.equal(t["__side"], 0)
+        lp = t.filter(lmask).select(["__key"] + l_payload).to_pandas()
+        rp = t.filter(pc.invert(lmask)).select(["__key"] + r_payload).to_pandas()
+        out = lp.merge(rp, on="__key", how="inner").rename(columns={"__key": on})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
-    return partitioned_groupby(both, "__key", merge, num_parts=num_parts)
+    return partitioned_groupby(
+        both, "__key", merge, num_parts=num_parts, batch_format="pyarrow"
+    )
