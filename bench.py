@@ -110,14 +110,31 @@ def run_bench() -> dict:
     probe = wait_for_healthy_host(
         float(os.environ.get("BENCH_HOST_WAIT_S", "900")))
 
+    # background sampler: the host can collapse mid-run between the entry
+    # and exit probes; recording the worst probe DURING the run lets the
+    # scaling analysis keep only reps that were healthy end-to-end
+    import threading
+
+    samples: list[tuple[float, float]] = []
+    stop_evt = threading.Event()
+
+    def sampler():
+        while not stop_evt.wait(20.0):
+            samples.append((time.monotonic(), host_probe()))
+
+    smp = threading.Thread(target=sampler, daemon=True)
+    smp.start()
+
     t0 = time.monotonic()
     res = pipe.run(pages_path=corpus_dir, input_token=f"bench-{ncpu}", resume=False)
     n_comp = res.connected_components().count()  # force the full chain
     n_docs = res.docs().count()
     headline = time.monotonic() - t0
-    # exit probe: the host can collapse AFTER the entry probe; a rep is
-    # only trustworthy when both probes are healthy
+    stop_evt.set()
+    # exit probe: a rep is only trustworthy when entry, exit AND every
+    # mid-run sample are healthy
     probe_exit = host_probe()
+    probe_max_mid = round(max((p for _, p in samples), default=0.0), 3)
     # per-stage walls from the checkpoint manifests (reporting only)
     stage_walls = {}
     for stage in ("docs", "signatures", "shingles", "pairs",
@@ -143,6 +160,7 @@ def run_bench() -> dict:
             "clustered_docs": n_comp,
             "host_probe_s": round(probe, 3),
             "host_probe_exit_s": round(probe_exit, 3),
+            "host_probe_max_mid_s": probe_max_mid,
             "stage_walls": stage_walls,
         }
     bench_queries = [
@@ -172,6 +190,7 @@ def run_bench() -> dict:
         "clustered_docs": n_comp,
         "host_probe_s": round(probe, 3),
         "host_probe_exit_s": round(probe_exit, 3),
+        "host_probe_max_mid_s": probe_max_mid,
         "stage_walls": stage_walls,
     }
 
