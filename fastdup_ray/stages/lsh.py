@@ -30,35 +30,51 @@ from fastdup_ray.relational.ops import distinct, partitioned_groupby
 
 def make_emit_partition(max_bucket_pairs: int):
     """Per-hash-partition pair emitter: rows (bucket, doc_id) -> (src, dst),
-    src < dst canonical (D1 pair canonicalization, SURVEY.md §2.8)."""
+    src < dst canonical (D1 pair canonicalization, SURVEY.md §2.8).
+
+    Fully vectorized — no per-bucket Python. Rows are lexsorted and
+    deduped, segment (bucket) sizes derived by run-length, and each row
+    of a clique-sized bucket pairs with its `m-1-l` successors via one
+    global repeat/arange construction; star-capped hot buckets emit
+    min-id -> others the same way."""
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        multi = df[df.duplicated("bucket", keep=False)]
-        if multi.empty:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        multi = multi.sort_values(["bucket", "doc_id"], kind="mergesort")
-        srcs: list[np.ndarray] = []
-        dsts: list[np.ndarray] = []
-        for _, g in multi.groupby("bucket", sort=False):
-            ids = np.unique(g["doc_id"].to_numpy().astype(np.int64))
-            m = ids.shape[0]
-            if m < 2:
-                continue
-            if m <= max_bucket_pairs:
-                iu = np.triu_indices(m, k=1)
-                srcs.append(ids[iu[0]])
-                dsts.append(ids[iu[1]])
-            else:
-                # hot bucket: star to the min id — connectivity-preserving cap
-                srcs.append(np.full(m - 1, ids[0], dtype=np.int64))
-                dsts.append(ids[1:])
-        if not srcs:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        out = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        empty = pd.DataFrame(
+            {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        )
+        b = df["bucket"].to_numpy().astype(np.int64, copy=False)
+        d = df["doc_id"].to_numpy().astype(np.int64, copy=False)
+        if b.size == 0:
+            return empty
+        order = np.lexsort((d, b))
+        b, d = b[order], d[order]
+        keep = np.ones(b.size, dtype=bool)
+        keep[1:] = (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+        b, d = b[keep], d[keep]
+        starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
+        counts = np.diff(np.append(starts, b.size))
+        pos = np.arange(b.size, dtype=np.int64)
+        seg_m = np.repeat(counts, counts)  # bucket size, per row
+        loc = pos - np.repeat(starts, counts)  # local index, per row
+        # per row: how many successors it pairs with — all of them in
+        # clique buckets (m <= cap); in star buckets only the min-id row
+        # (loc == 0) pairs with everything after it
+        clique = np.repeat(counts <= max_bucket_pairs, counts)
+        rep = np.where(clique, seg_m - 1 - loc, np.where(loc == 0, seg_m - 1, 0))
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        src = np.repeat(d, rep)
+        csum = np.cumsum(rep) - rep
+        off = np.arange(total, dtype=np.int64) - np.repeat(csum, rep)
+        dst = d[np.repeat(pos + 1, rep) + off]
         # partial dedup before the global (src,dst) distinct: the same pair
         # fires in up to num_bands buckets, many land in one partition
-        return out.drop_duplicates()
+        key_order = np.lexsort((dst, src))
+        src, dst = src[key_order], dst[key_order]
+        uniq = np.ones(src.size, dtype=bool)
+        uniq[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        return pd.DataFrame({"src": src[uniq], "dst": dst[uniq]})
 
     return emit
 

@@ -208,3 +208,41 @@ def test_simhash_arrow_tokenizer_matches_str_split():
     got = simhash64(texts)
     assert np.array_equal(got, reference(texts))
     assert np.array_equal(simhash64(pa.array(texts)), got)
+
+
+def test_emit_partition_matches_per_bucket_reference():
+    """The vectorized LSH pair emitter must produce exactly the per-bucket
+    reference semantics: full clique (src<dst) for buckets <= cap, star
+    to the min doc_id above cap, deduped within the partition."""
+    import pandas as pd
+
+    from fastdup_ray.stages.lsh import make_emit_partition
+
+    def reference(df, cap):
+        df = df.drop_duplicates()
+        multi = df[df.duplicated("bucket", keep=False)]
+        out = set()
+        for _, g in multi.groupby("bucket", sort=False):
+            ids = np.unique(g["doc_id"].to_numpy().astype(np.int64))
+            m = ids.shape[0]
+            if m < 2:
+                continue
+            if m <= cap:
+                iu = np.triu_indices(m, k=1)
+                out.update(zip(ids[iu[0]].tolist(), ids[iu[1]].tolist()))
+            else:
+                out.update((int(ids[0]), int(x)) for x in ids[1:])
+        return out
+
+    rng = np.random.default_rng(11)
+    for cap in (2, 5, 32, 10**6):
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "bucket": rng.integers(0, 300, n).astype(np.int64),
+                "doc_id": rng.integers(0, 500, n).astype(np.int64),
+            }
+        )
+        got = make_emit_partition(cap)(df.copy())
+        assert set(map(tuple, got.to_numpy())) == reference(df, cap)
+        assert (got["src"] < got["dst"]).all()
