@@ -86,29 +86,49 @@ def make_emit_cross_partition(max_bucket_pairs: int):
     (src=side0 doc, dst=side1 doc)."""
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        multi = df[df.duplicated("bucket", keep=False)]
-        if multi.empty:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        srcs: list[np.ndarray] = []
-        dsts: list[np.ndarray] = []
-        for _, g in multi.groupby("bucket", sort=False):
-            a = np.unique(g.loc[g["side"] == 0, "doc_id"].to_numpy().astype(np.int64))
-            b = np.unique(g.loc[g["side"] == 1, "doc_id"].to_numpy().astype(np.int64))
-            if a.size == 0 or b.size == 0:
-                continue
-            if a.size * b.size > max_bucket_pairs * max_bucket_pairs:
-                # hot cross bucket: each side-0 doc pairs with the min side-1 doc
-                srcs.append(a)
-                dsts.append(np.full(a.size, b[0], dtype=np.int64))
-            else:
-                srcs.append(np.repeat(a, b.size))
-                dsts.append(np.tile(b, a.size))
-        if not srcs:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        out = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        empty = pd.DataFrame(
+            {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        )
+        b = df["bucket"].to_numpy().astype(np.int64, copy=False)
+        s = df["side"].to_numpy().astype(np.int64, copy=False)
+        d = df["doc_id"].to_numpy().astype(np.int64, copy=False)
+        if b.size == 0:
+            return empty
+        # lexsort so each bucket is [side-0 run | side-1 run], docs
+        # ascending within a run; dedup (bucket, side, doc)
+        order = np.lexsort((d, s, b))
+        b, s, d = b[order], s[order], d[order]
+        keep = np.ones(b.size, dtype=bool)
+        keep[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        b, s, d = b[keep], s[keep], d[keep]
+        starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
+        counts = np.diff(np.append(starts, b.size))
+        # per bucket: na side-0 rows, nb side-1 rows
+        na_row = (s == 0).astype(np.int64)
+        cum0 = np.concatenate([[0], np.cumsum(na_row)])
+        na = cum0[starts + counts] - cum0[starts]
+        nb = counts - na
+        b_start = starts + na  # first side-1 row per bucket
+        per_bucket = np.where(
+            (na > 0) & (nb > 0),
+            np.where(na * nb > max_bucket_pairs * max_bucket_pairs, 1, nb),
+            0,
+        )  # dst fan-out per side-0 row (1 = star to min side-1 doc)
+        rep = np.where(s == 0, np.repeat(per_bucket, counts), 0)
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        src = np.repeat(d, rep)
+        csum = np.cumsum(rep) - rep
+        off = np.arange(total, dtype=np.int64) - np.repeat(csum, rep)
+        dst = d[np.repeat(np.repeat(b_start, counts), rep) + off]
         # partial dedup before the global (src,dst) distinct: the same pair
         # fires in up to num_bands buckets, many land in one partition
-        return out.drop_duplicates()
+        key_order = np.lexsort((dst, src))
+        src, dst = src[key_order], dst[key_order]
+        uniq = np.ones(src.size, dtype=bool)
+        uniq[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        return pd.DataFrame({"src": src[uniq], "dst": dst[uniq]})
 
     return emit
 

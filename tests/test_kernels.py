@@ -246,3 +246,37 @@ def test_emit_partition_matches_per_bucket_reference():
         got = make_emit_partition(cap)(df.copy())
         assert set(map(tuple, got.to_numpy())) == reference(df, cap)
         assert (got["src"] < got["dst"]).all()
+
+
+def test_emit_cross_partition_matches_per_bucket_reference():
+    """Vectorized cross-corpus emitter (G7) vs per-bucket reference:
+    full a x b cross below the cap, star to the min side-1 doc above."""
+    import pandas as pd
+
+    from fastdup_ray.stages.lsh import make_emit_cross_partition
+
+    def reference(df, cap):
+        multi = df[df.duplicated("bucket", keep=False)]
+        out = set()
+        for _, g in multi.groupby("bucket", sort=False):
+            a = np.unique(g.loc[g["side"] == 0, "doc_id"].to_numpy().astype(np.int64))
+            b = np.unique(g.loc[g["side"] == 1, "doc_id"].to_numpy().astype(np.int64))
+            if a.size == 0 or b.size == 0:
+                continue
+            if a.size * b.size > cap * cap:
+                out.update((int(x), int(b[0])) for x in a)
+            else:
+                out.update((int(x), int(y)) for x in a for y in b)
+        return out
+
+    rng = np.random.default_rng(13)
+    for cap in (1, 2, 32):
+        df = pd.DataFrame(
+            {
+                "bucket": rng.integers(0, 150, 3000).astype(np.int64),
+                "side": rng.integers(0, 2, 3000).astype(np.int64),
+                "doc_id": rng.integers(0, 300, 3000).astype(np.int64),
+            }
+        )
+        got = make_emit_cross_partition(cap)(df.copy())
+        assert set(map(tuple, got.to_numpy())) == reference(df, cap)
