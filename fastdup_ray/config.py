@@ -29,6 +29,11 @@ class DedupConfig:
     num_bands: int = 16            # LSH bands
     rows_per_band: int = 8         # minhash rows per band (num_bands*rows_per_band == num_perms)
     seed: int = 42                 # seeds the permutation matrix (deterministic)
+    signer: str = "minhash"        # "minhash": classic K-permutation (BASELINE
+                                   # config, the default); "oph": one-permutation
+                                   # hashing w/ rotation densification — ONE pass
+                                   # over the shingles instead of K, the sign-stage
+                                   # scale path (same banding/verify downstream)
     hash_version: int = 2          # doc_id/string-hash algorithm version; folded
                                    # into every stage fingerprint so checkpoints
                                    # from a different hash can never be reused

@@ -97,6 +97,96 @@ class MinHasher:
         return sig, n_shingles
 
 
+class OnePermMinHasher:
+    """One-permutation MinHash with rotation densification — the sign-stage
+    scale path (``DedupConfig(signer="oph")``).
+
+    Classic K-permutation MinHash makes K full passes over every shingle
+    hash (the dominant per-doc cost at corpus scale). OPH instead makes
+    ONE pass: each shingle hash is assigned to bin ``top log2(K) bits``,
+    and the slot value is the minimum of an odd-multiply remix of the
+    hashes landing in that bin (a fixed bijection of the hash space, so
+    the bin minimum is a valid minwise sample). Empty bins borrow the
+    value of the nearest filled bin to their circular left (densification
+    by rotation), preserving P[slot_i(A)=slot_i(B)] ~ J(A,B), which is
+    all LSH banding needs. Slight collision bias for very sparse docs is
+    inherent to densification and documented here.
+
+    Public references: Li, Owen, Zhang, "One Permutation Hashing"
+    (NIPS 2012); Shrivastava & Li, "Improved Densification of One
+    Permutation Hashing" (UAI 2014).
+
+    Output contract matches MinHasher.signatures: (uint32[n, K] sig,
+    int64[n] n_shingles); zero-shingle docs keep the all-ones sentinel.
+    """
+
+    _REMIX = np.uint32(0x9E3779B1)  # odd -> bijective over 2^32
+
+    def __init__(self, shingle_size: int = 5, num_perms: int = 128, seed: int = 42):
+        if num_perms & (num_perms - 1):
+            raise ValueError("oph signer needs power-of-two num_perms")
+        self.k = shingle_size
+        self.num_perms = num_perms
+        self.bin_shift = np.uint32(32 - int(num_perms).bit_length() + 1)
+
+    def signatures(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        hashes, offsets = segmented_shingle_hashes(texts, self.k)
+        n = len(offsets) - 1
+        K = self.num_perms
+        n_shingles = np.diff(offsets)
+        sig = np.full((n, K), _EMPTY_SENTINEL, dtype=np.uint32)
+        if hashes.shape[0] == 0:
+            return sig, n_shingles
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_shingles)
+        bins = (hashes >> self.bin_shift).astype(np.int64)
+        with np.errstate(over="ignore"):
+            vals = hashes * self._REMIX
+        key = doc_of * K + bins  # == flat index into sig
+        # chunked sort+reduceat+scatter-min: each slab's scratch stays
+        # L2/arena-resident (a single whole-batch argsort allocates tens
+        # of MB fresh per call — the allocation, not the comparison count,
+        # dominates under concurrent workers)
+        flat = sig.ravel()
+        CH = 32_768
+        for lo in range(0, key.shape[0], CH):
+            k = key[lo : lo + CH]
+            o = np.argsort(k, kind="stable")
+            sk = k[o]
+            sv = vals[lo : lo + CH][o]
+            runs = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))
+            pos = sk[runs]
+            flat[pos] = np.minimum(flat[pos], np.minimum.reduceat(sv, runs))
+        self._densify(sig)
+        return sig, n_shingles
+
+    @staticmethod
+    def _densify(sig: np.ndarray) -> None:
+        """Fill empty slots from the nearest filled slot to the circular
+        left, in place. All-empty rows stay sentinel (zero-shingle docs)."""
+        n, K = sig.shape
+        filled = sig != _EMPTY_SENTINEL
+        need = ~filled
+        if not need.any():
+            return
+        ext_filled = np.concatenate([filled, filled], axis=1)
+        pos = np.where(ext_filled, np.arange(2 * K, dtype=np.int64)[None, :], -1)
+        last = np.maximum.accumulate(pos, axis=1)[:, K:]
+        ok = need & (last >= 0)
+        if ok.any():
+            ext = np.concatenate([sig, sig], axis=1)
+            borrowed = np.take_along_axis(ext, last, axis=1)
+            sig[ok] = borrowed[ok]
+
+
+def make_signer(signer: str, shingle_size: int, num_perms: int, seed: int):
+    """Signer factory for SignStage: 'minhash' (classic, default) or 'oph'."""
+    if signer == "oph":
+        return OnePermMinHasher(shingle_size, num_perms, seed)
+    if signer == "minhash":
+        return MinHasher(shingle_size, num_perms, seed)
+    raise ValueError(f"unknown signer {signer!r}")
+
+
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Row-wise estimated Jaccard between two (n, num_perms) signature blocks."""
     return (sig_a == sig_b).mean(axis=1)

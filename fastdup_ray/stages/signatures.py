@@ -29,7 +29,9 @@ class SignStage:
     def __init__(self, config: DedupConfig | None = None):
         cfg = config or DedupConfig()
         self.cfg = cfg
-        self.mh = MinHasher(cfg.shingle_size, cfg.num_perms, cfg.seed)
+        from fastdup_ray.functions.minhash import make_signer
+
+        self.mh = make_signer(cfg.signer, cfg.shingle_size, cfg.num_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "is_valid" in batch.column_names:
