@@ -27,21 +27,27 @@ class ShingleSetStage:
             batch = batch.filter(batch["is_valid"])
         texts = batch["text"]  # Arrow array — shingled zero-copy
         h, off = segmented_shingle_hashes(texts, self.cfg.shingle_size)
-        sets: list[np.ndarray] = []
-        keep = np.zeros(len(texts), dtype=bool)
-        for i in range(len(texts)):
-            s = np.unique(h[off[i] : off[i + 1]])
-            if s.size:
-                keep[i] = True
-                sets.append(s)
-        if not sets:
+        n = len(texts)
+        if h.shape[0] == 0:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "shingles": pa.array([], pa.list_(pa.uint32()))}
             )
-        values = np.concatenate(sets)
-        offsets = np.zeros(len(sets) + 1, dtype=np.int32)
-        np.cumsum([s.size for s in sets], out=offsets[1:])
+        # sorted-unique per doc without a per-doc Python loop: prefix each
+        # hash with its doc index, one in-place sort, run-length unique
+        doc_of = np.repeat(np.arange(n, dtype=np.uint64), np.diff(off))
+        key = (doc_of << np.uint64(32)) | h.astype(np.uint64)
+        key.sort()
+        uniq = np.ones(key.shape[0], dtype=bool)
+        uniq[1:] = key[1:] != key[:-1]
+        ku = key[uniq]
+        values = (ku & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        sizes = np.bincount(
+            (ku >> np.uint64(32)).astype(np.int64), minlength=n
+        )
+        keep = sizes > 0
+        offsets = np.zeros(int(keep.sum()) + 1, dtype=np.int32)
+        np.cumsum(sizes[keep], out=offsets[1:])
         return pa.table(
             {
                 "doc_id": batch["doc_id"].filter(pa.array(keep)),
