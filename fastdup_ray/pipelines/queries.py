@@ -1634,6 +1634,45 @@ GROUP BY domain_a, domain_b
 """
 
 
+# ------------------------------------------------------- top-k per group
+def q_top_docs_per_source(sf_dir: str, k: int = 2):
+    """O2/O4 windowed-rank analog with a SQL oracle: the k longest docs
+    per source (ties broken by doc_id ascending) — partition by group
+    key, one vectorized sort+head per partition; no global sort."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("source", as_index=False, sort=False).head(k)
+        out = out.copy()
+        out["rank"] = out.groupby("source", sort=False).cumcount() + 1
+        return out[["source", "rank", "doc_id", "n_chars"]]
+
+    out = partitioned_groupby(ds, "source", topk, num_parts=16)
+    from fastdup_ray.relational.ops import with_schema
+
+    return with_schema(
+        out,
+        {"source": pa.string(), "rank": pa.int64(),
+         "doc_id": pa.int64(), "n_chars": pa.int64()},
+    )
+
+
+SQL_TOP_DOCS_PER_SOURCE = """
+SELECT source, rank, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+    row_number() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id
+    ) AS rank
+  FROM documents
+) WHERE rank <= 2
+"""
+
+
 def _sql_lang_parts() -> tuple[str, str]:
     """Shared SQL building blocks for the lang-ID twin: (CTE chain ending
     in `m`, the lang_pred CASE expression over `m`). The stopword
@@ -1772,6 +1811,7 @@ def queries():
     return {
         "dedup_survivors": q_dedup_survivors,
         "domain_pair_summary": q_domain_pair_summary,
+        "top_docs_per_source": q_top_docs_per_source,
         "stats_filtered_dups": q_stats_filtered_dups,
         "component_majority_label": q_component_majority_label,
         "url_components": q_url_components,
@@ -1814,6 +1854,7 @@ def oracle_sql():
     return {
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "domain_pair_summary": SQL_DOMAIN_PAIR_SUMMARY,
+        "top_docs_per_source": SQL_TOP_DOCS_PER_SOURCE,
         "text_quality": SQL_TEXT_QUALITY,
         "pagerank": SQL_PAGERANK,
         "lang_confusion": SQL_LANG_CONFUSION,

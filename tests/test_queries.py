@@ -36,6 +36,7 @@ CHECKED = [
     "text_quality",
     "pagerank",
     "lang_confusion",
+    "top_docs_per_source",
 ]
 
 
