@@ -104,7 +104,15 @@ def run_bench() -> dict:
     # penalize only the high-parallelism run (~11 s of non-scaling IO)
     work_dir = f"/dev/shm/fastdup_ray_bench_{ncpu}"
     shutil.rmtree(work_dir, ignore_errors=True)
-    cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu)
+    # BENCH_NO_CHECKPOINT=1: skip the per-stage Parquet checkpoint writes
+    # (stages still materialize). On a real cluster checkpoint IO lands on
+    # S3/HDFS whose aggregate bandwidth scales with node count; this
+    # box's memory bus is a fixed serial resource, so for the N-vs-4N
+    # scaling question the no-checkpoint run is the faithful proxy.
+    # Default (driver runs) keeps checkpoints on — the honest e2e wall.
+    ckpt = () if os.environ.get("BENCH_NO_CHECKPOINT") else None
+    cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu,
+                      checkpoint_stages=ckpt)
     pipe = NearDupPipeline(cfg, work_dir=work_dir)
 
     probe = wait_for_healthy_host(
