@@ -72,19 +72,27 @@ def _bin_offsets(col) -> np.ndarray:
 
 def _exact_jaccard_batch():
     def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         val_a = _decode_bin(batch["sh_bin"], np.uint32)
         off_a = _bin_offsets(batch["sh_bin"])
         val_b = _decode_bin(batch["sh_bin_r"], np.uint32)
         off_b = _bin_offsets(batch["sh_bin_r"])
         n = batch.num_rows
         dist = np.zeros(n, dtype=np.float64)
-        for i in range(n):
-            sa = val_a[off_a[i] : off_a[i + 1]]
-            sb = val_b[off_b[i] : off_b[i + 1]]
-            if sa.size == 0 and sb.size == 0:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            dist[i] = inter / (sa.size + sb.size - inter)
+        la, lb = np.diff(off_a), np.diff(off_b)
+        # byte-identical packed sets (exact-dup endpoints — common in web
+        # corpora) short-circuit to J=1.0 without an intersection
+        same = pc.equal(batch["sh_bin"], batch["sh_bin_r"]).to_numpy(
+            zero_copy_only=False
+        ) & (la > 0)
+        dist[same] = 1.0
+        rest = np.flatnonzero(~same & ((la > 0) | (lb > 0)))
+        if rest.size:
+            _exact_scores_block(
+                val_a, off_a[:-1][rest], off_a[1:][rest],
+                val_b, off_b[:-1][rest], off_b[1:][rest], dist, rest,
+            )
         return pa.table(
             {
                 "src": batch["src"],
@@ -103,24 +111,33 @@ class _SetIndex:
     (reordering 10^8 values costs more than one extra indirection)."""
 
     def __init__(self, ids_sorted: np.ndarray, perm: np.ndarray,
-                 offsets: np.ndarray, values: np.ndarray):
+                 offsets: np.ndarray, values: np.ndarray,
+                 hashes: np.ndarray | None = None):
         self.ids = ids_sorted
         self.perm = perm
         self.offsets = offsets
         self.values = values
+        # per-doc uint64 hash of the packed set bytes (ingest order, like
+        # offsets): lets equal-set pairs short-circuit to J=1.0
+        self.hashes = (
+            hashes if hashes is not None
+            else np.zeros(max(0, offsets.shape[0] - 1), np.uint64)
+        )
 
-    def lookup(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(start, end) value-offsets per requested doc (end=start if absent)."""
+    def lookup(self, doc_ids: np.ndarray):
+        """(start, end, set_hash) per requested doc (end=start, hash=0 if
+        absent)."""
         if self.ids.shape[0] == 0:
             z = np.zeros(doc_ids.shape[0], dtype=np.int64)
-            return z, z
+            return z, z, z.astype(np.uint64)
         pos = np.searchsorted(self.ids, doc_ids)
         pos = np.clip(pos, 0, self.ids.shape[0] - 1)
         found = self.ids[pos] == doc_ids
         row = self.perm[pos]
         start = np.where(found, self.offsets[row], 0)
         end = np.where(found, self.offsets[row + 1], 0)
-        return start, end
+        h = np.where(found, self.hashes[row], np.uint64(0))
+        return start, end, h
 
 
 def _binary_column_flat(col) -> tuple[np.ndarray, np.ndarray]:
@@ -165,7 +182,8 @@ def _build_index_shards(packed, bin_col: str, num_shards: int):
     blocks = packed.materialize().to_arrow_refs()
 
     empty = _SetIndex(np.empty(0, np.int64), np.empty(0, np.int64),
-                      np.zeros(1, np.int64), np.empty(0, np.uint32))
+                      np.zeros(1, np.int64), np.empty(0, np.uint32),
+                      np.empty(0, np.uint64))
     empty_router = (np.empty(0, np.int64), np.empty(0, np.int32))
     if not blocks:
         return [ray.put(empty) for _ in range(num_shards)], ray.put(empty_router)
@@ -173,7 +191,9 @@ def _build_index_shards(packed, bin_col: str, num_shards: int):
 
     @ray.remote
     def build_shard(*tables):
-        id_parts, len_parts, val_parts = [], [], []
+        from fastdup_ray.functions.hashing import hash64_segmented
+
+        id_parts, len_parts, val_parts, hash_parts = [], [], [], []
         for t in tables:
             if t.num_rows == 0:
                 continue
@@ -183,15 +203,20 @@ def _build_index_shards(packed, bin_col: str, num_shards: int):
             values, offs = _binary_column_flat(t[bin_col])
             len_parts.append(np.diff(offs))
             val_parts.append(np.asarray(values))
+            # per-doc hash of the packed bytes: equal sets -> equal hash
+            hash_parts.append(
+                hash64_segmented(values.view(np.uint8), offs * 4)
+            )
         if not id_parts:
             return empty
         ids = np.concatenate(id_parts)
         lens = np.concatenate(len_parts)
         values = np.concatenate(val_parts)
+        hashes = np.concatenate(hash_parts)
         order = np.argsort(ids, kind="stable")
         off = np.zeros(ids.shape[0] + 1, dtype=np.int64)
         np.cumsum(lens, out=off[1:])
-        return _SetIndex(ids[order], order.astype(np.int64), off, values)
+        return _SetIndex(ids[order], order.astype(np.int64), off, values, hashes)
 
     @ray.remote
     def build_router(*shards):
@@ -327,8 +352,21 @@ def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
             rows = order[lo:hi]
             idx_s = shard(g // num_shards)
             idx_d = shard(g % num_shards)
-            sa, ea = idx_s.lookup(src[rows])
-            sb, eb = idx_d.lookup(dst[rows])
+            sa, ea, ha = idx_s.lookup(src[rows])
+            sb, eb, hb = idx_d.lookup(dst[rows])
+            if not is_signature:
+                # equal packed-set hash + equal nonzero length -> J=1.0
+                # without an intersection (exact-dup endpoints; own-code
+                # 64-bit hash, false-equal odds ~ n_pairs * 2^-64)
+                same = (ha == hb) & (ea - sa == eb - sb) & (ea > sa)
+                if same.any():
+                    dist[rows[same]] = 1.0
+                    rest = ~same
+                    rows, sa, ea, sb, eb = (
+                        rows[rest], sa[rest], ea[rest], sb[rest], eb[rest]
+                    )
+                    if rows.size == 0:
+                        continue
             if is_signature:
                 ok = (ea - sa == P) & (eb - sb == P)
                 if ok.any():

@@ -182,3 +182,26 @@ def test_oph_signer_recall(ray_session, oracle, tmp_path_factory):
     # distances come from EXACT verify, so edges remain true Jaccard
     sim = res.similarity().take_all()
     assert all(r["distance"] >= cfg.threshold for r in sim)
+
+
+def test_join_verify_path_matches_broadcast(ray_session, oracle, tmp_path_factory):
+    """verify_broadcast_max_bytes=0 forces the hash-join verify fallback
+    (the multi-node scale path); its scored edges must match the
+    broadcast-index path exactly."""
+    import dataclasses
+
+    def edges(cfg, wd, token):
+        res = NearDupPipeline(cfg, work_dir=wd).run(
+            rd.from_arrow(oracle["pages"]).repartition(8), input_token=token
+        )
+        return sorted(
+            (r["src"], r["dst"], round(r["distance"], 9))
+            for r in res.similarity().take_all()
+        )
+
+    base = oracle["cfg"]
+    e_bcast = edges(base, str(tmp_path_factory.mktemp("wd_b")), "vp-b")
+    cfg_join = dataclasses.replace(base, verify_broadcast_max_bytes=0)
+    e_join = edges(cfg_join, str(tmp_path_factory.mktemp("wd_j")), "vp-j")
+    assert e_bcast == e_join
+    assert len(e_bcast) > 0
