@@ -280,3 +280,32 @@ def test_emit_cross_partition_matches_per_bucket_reference():
         )
         got = make_emit_cross_partition(cap)(df.copy())
         assert set(map(tuple, got.to_numpy())) == reference(df, cap)
+
+
+def test_oph_signer_properties():
+    """OPH invariants: batch == per-doc, full densification whenever at
+    least one shingle exists, sentinel for zero-shingle docs, and
+    estimator ordering (near pair >> random pair)."""
+    from fastdup_ray.functions.minhash import OnePermMinHasher, estimate_jaccard
+
+    oph = OnePermMinHasher(5, 128, 42)
+    rng = np.random.default_rng(21)
+    words = ["tok%02d" % i for i in range(60)] + ["día", "中文词"]
+    docs = [
+        " ".join(rng.choice(words, size=int(rng.integers(1, 30))))
+        for _ in range(50)
+    ]
+    docs += ["", "abcd", "abcde", "x" * 4, "é" * 6]
+    sig, ns = oph.signatures(docs)
+    for i in range(len(docs)):
+        s1, n1 = oph.signatures([docs[i]])
+        assert (sig[i] == s1[0]).all() and ns[i] == n1[0], i
+        if ns[i] == 0:
+            assert (sig[i] == 0xFFFFFFFF).all()
+        else:
+            # rotation densification fills every slot
+            assert (sig[i] != 0xFFFFFFFF).all(), (i, docs[i])
+    a = docs[0] if len(docs[0]) > 40 else " ".join(words[:30])
+    b = a[: len(a) // 2] + "Q" + a[len(a) // 2 :]
+    s3, _ = oph.signatures([a, b, " ".join(words[30:])])
+    assert estimate_jaccard(s3[0:1], s3[1:2])[0] > estimate_jaccard(s3[0:1], s3[2:3])[0]
