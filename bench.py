@@ -111,8 +111,14 @@ def run_bench() -> dict:
     # scaling question the no-checkpoint run is the faithful proxy.
     # Default (driver runs) keeps checkpoints on — the honest e2e wall.
     ckpt = () if os.environ.get("BENCH_NO_CHECKPOINT") else None
+    # 16 GB broadcast budget: the 2M-page corpus' packed shingle index is
+    # ~9.6 GB — under the library's conservative 4 GB default the verify
+    # stage silently fell back to the join path. This box (and a typical
+    # cluster node) holds the sharded index comfortably; the join
+    # fallback has its own equivalence test.
     cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu,
-                      checkpoint_stages=ckpt)
+                      checkpoint_stages=ckpt,
+                      verify_broadcast_max_bytes=16_000_000_000)
     pipe = NearDupPipeline(cfg, work_dir=work_dir)
 
     probe = wait_for_healthy_host(

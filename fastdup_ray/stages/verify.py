@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from fastdup_ray.config import DedupConfig
-from fastdup_ray.relational.ops import hash_join, with_schema
+from fastdup_ray.relational.ops import cogroup_join, with_schema
 from fastdup_ray.stages.shingles import ShingleSetStage, list_column_arrays
 from fastdup_ray.stages.signatures import signatures_to_matrix
 
@@ -34,8 +34,8 @@ def _est_jaccard_batch(cfg: DedupConfig):
     P = cfg.num_perms
 
     def fn(batch: pa.Table) -> pa.Table:
-        sig_a = _decode_bin(batch["mh_bin"], np.uint32).reshape(-1, P)
-        sig_b = _decode_bin(batch["mh_bin_r"], np.uint32).reshape(-1, P)
+        sig_a = _binary_column_flat(batch["mh_bin"])[0].reshape(-1, P)
+        sig_b = _binary_column_flat(batch["mh_bin_r"])[0].reshape(-1, P)
         dist = (sig_a == sig_b).mean(axis=1)
         return pa.table(
             {
@@ -48,36 +48,12 @@ def _est_jaccard_batch(cfg: DedupConfig):
     return fn
 
 
-def _decode_bin(col, dtype) -> np.ndarray:
-    """Concatenated values of a binary column as one numpy array."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    bufs = col.to_pylist()
-    return (
-        np.frombuffer(b"".join(bufs), dtype=dtype)
-        if bufs
-        else np.empty(0, dtype=dtype)
-    )
-
-
-def _bin_offsets(col) -> np.ndarray:
-    """Element offsets (in dtype units of 4 bytes) of a binary column."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    lens = np.asarray([len(x) // 4 for x in col.to_pylist()], dtype=np.int64)
-    off = np.zeros(lens.shape[0] + 1, dtype=np.int64)
-    np.cumsum(lens, out=off[1:])
-    return off
-
-
 def _exact_jaccard_batch():
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        val_a = _decode_bin(batch["sh_bin"], np.uint32)
-        off_a = _bin_offsets(batch["sh_bin"])
-        val_b = _decode_bin(batch["sh_bin_r"], np.uint32)
-        off_b = _bin_offsets(batch["sh_bin_r"])
+        val_a, off_a = _binary_column_flat(batch["sh_bin"])
+        val_b, off_b = _binary_column_flat(batch["sh_bin_r"])
         n = batch.num_rows
         dist = np.zeros(n, dtype=np.float64)
         la, lb = np.diff(off_a), np.diff(off_b)
@@ -458,16 +434,20 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
         side = signatures.select_columns(["doc_id", "minhash"]).map_batches(
             _pack_minhash, batch_format="pyarrow"
         ).materialize()
-        joined = hash_join(
-            pairs, side, on="src", right_on="doc_id", num_partitions=np_parts
-        ).materialize()  # chained lazy joins trip acero field resolution in ray 2.49
+        # cogroup_join, not Dataset.join: acero joins anti-scale at high
+        # parallelism on ray 2.49 (more CPUs -> slower; the partitioned
+        # merge shuffle holds its scaling) — this fallback IS the beyond-
+        # broadcast-budget scale path, so it must scale
+        joined = cogroup_join(
+            pairs, side, on="src", right_on="doc_id", num_parts=np_parts
+        ).materialize()
         joined = with_schema(
             joined,
             {"src": pa.int64(), "dst": pa.int64(), "mh_bin": pa.binary()},
         ).materialize()
-        joined = hash_join(
+        joined = cogroup_join(
             joined, side.rename_columns({"mh_bin": "mh_bin_r"}),
-            on="dst", right_on="doc_id", num_partitions=np_parts,
+            on="dst", right_on="doc_id", num_parts=np_parts,
         )
         return joined.map_batches(_est_jaccard_batch(cfg), batch_format="pyarrow")
 
@@ -476,16 +456,16 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
             ShingleSetStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
         ).materialize()
     packed = shingle_sets.map_batches(_pack_shingles, batch_format="pyarrow").materialize()
-    joined = hash_join(
-        pairs, packed, on="src", right_on="doc_id", num_partitions=np_parts
-    ).materialize()  # see note above
+    joined = cogroup_join(
+        pairs, packed, on="src", right_on="doc_id", num_parts=np_parts
+    ).materialize()  # see scaling note in the signature branch
     joined = with_schema(
         joined,
         {"src": pa.int64(), "dst": pa.int64(), "sh_bin": pa.binary()},
     ).materialize()
-    joined = hash_join(
+    joined = cogroup_join(
         joined, packed.rename_columns({"sh_bin": "sh_bin_r"}),
-        on="dst", right_on="doc_id", num_partitions=np_parts,
+        on="dst", right_on="doc_id", num_parts=np_parts,
     )
     return joined.map_batches(_exact_jaccard_batch(), batch_format="pyarrow")
 
