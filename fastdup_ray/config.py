@@ -50,6 +50,10 @@ class DedupConfig:
     # --- verification ---
     verify_mode: str = "exact"     # "exact": true shingle Jaccard; "signature": estimate
                                    # from the 128-perm signature
+    fused_shingles: bool = True    # exact mode: the sign stage emits the sorted-unique
+                                   # shingle-set column alongside the signatures (ONE
+                                   # shingling pass over the text and one fewer pipeline
+                                   # barrier); False restores the separate set stage
     # when the corpus' packed shingle sets fit under this many bytes, the
     # verify stage broadcasts them once via ray.put (one zero-copy plasma
     # read per node) and scores pairs with pure lookups — no payload

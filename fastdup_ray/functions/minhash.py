@@ -54,7 +54,16 @@ class MinHasher:
         signature and n_shingles 0 — callers exclude them from pairing
         (the analog of the reference's features.bad.csv exclusion).
         """
-        hashes, offsets = segmented_shingle_hashes(texts, self.k)
+        return self.signatures_from_hashes(
+            *segmented_shingle_hashes(texts, self.k)
+        )
+
+    def signatures_from_hashes(
+        self, hashes: np.ndarray, offsets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Same contract over a precomputed (hashes, offsets) shingle pass —
+        lets the fused sign stage share ONE shingling with the set
+        emission."""
         n = len(offsets) - 1
         n_shingles = np.diff(offsets)
         sig = np.full((n, self.num_perms), _EMPTY_SENTINEL, dtype=np.uint32)
@@ -130,7 +139,13 @@ class OnePermMinHasher:
         self.bin_shift = np.uint32(32 - int(num_perms).bit_length() + 1)
 
     def signatures(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        hashes, offsets = segmented_shingle_hashes(texts, self.k)
+        return self.signatures_from_hashes(
+            *segmented_shingle_hashes(texts, self.k)
+        )
+
+    def signatures_from_hashes(
+        self, hashes: np.ndarray, offsets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
         n = len(offsets) - 1
         K = self.num_perms
         n_shingles = np.diff(offsets)

@@ -270,16 +270,22 @@ class NearDupPipeline:
         shingle_sets = None
         fp_shingles = "unused"
         if cfg.verify_mode == "exact":
-            from fastdup_ray.stages.shingles import ShingleSetStage
+            if cfg.fused_shingles:
+                # fused: the signatures table already carries the sets —
+                # zero extra text passes, no extra stage barrier
+                shingle_sets = sigs.select_columns(["doc_id", "shingles"])
+                fp_shingles = fp_sigs
+            else:
+                from fastdup_ray.stages.shingles import ShingleSetStage
 
-            shingle_sets, fp_shingles = self._stage(
-                "shingles", [fp_docs],
-                lambda: docs.map_batches(
-                    ShingleSetStage(cfg), batch_format="pyarrow",
-                    batch_size=cfg.batch_size,
-                ),
-                resume=resume,
-            )
+                shingle_sets, fp_shingles = self._stage(
+                    "shingles", [fp_docs],
+                    lambda: docs.map_batches(
+                        ShingleSetStage(cfg), batch_format="pyarrow",
+                        batch_size=cfg.batch_size,
+                    ),
+                    resume=resume,
+                )
 
         scores, fp_scores = self._stage(
             "pair_scores", [fp_pairs, fp_docs, fp_shingles],

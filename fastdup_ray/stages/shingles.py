@@ -27,35 +27,40 @@ class ShingleSetStage:
             batch = batch.filter(batch["is_valid"])
         texts = batch["text"]  # Arrow array — shingled zero-copy
         h, off = segmented_shingle_hashes(texts, self.cfg.shingle_size)
-        n = len(texts)
-        if h.shape[0] == 0:
+        keep, sets = sets_from_hashes(h, off, len(texts))
+        if sets is None:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "shingles": pa.array([], pa.list_(pa.uint32()))}
             )
-        # sorted-unique per doc without a per-doc Python loop: prefix each
-        # hash with its doc index, one in-place sort, run-length unique
-        doc_of = np.repeat(np.arange(n, dtype=np.uint64), np.diff(off))
-        key = (doc_of << np.uint64(32)) | h.astype(np.uint64)
-        key.sort()
-        uniq = np.ones(key.shape[0], dtype=bool)
-        uniq[1:] = key[1:] != key[:-1]
-        ku = key[uniq]
-        values = (ku & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        sizes = np.bincount(
-            (ku >> np.uint64(32)).astype(np.int64), minlength=n
-        )
-        keep = sizes > 0
-        offsets = np.zeros(int(keep.sum()) + 1, dtype=np.int32)
-        np.cumsum(sizes[keep], out=offsets[1:])
         return pa.table(
-            {
-                "doc_id": batch["doc_id"].filter(pa.array(keep)),
-                "shingles": pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), pa.array(values, pa.uint32())
-                ),
-            }
+            {"doc_id": batch["doc_id"].filter(pa.array(keep)), "shingles": sets}
         )
+
+
+def sets_from_hashes(h: np.ndarray, off: np.ndarray, n: int):
+    """Sorted-unique shingle set per doc, no per-doc Python loop: prefix
+    each hash with its doc index, one in-place uint64 sort, run-length
+    unique. Returns (keep bool[n] — docs with >=1 shingle,
+    sets list<uint32> ListArray over kept docs) or (None, None) when the
+    batch has no shingles at all."""
+    if h.shape[0] == 0:
+        return None, None
+    doc_of = np.repeat(np.arange(n, dtype=np.uint64), np.diff(off))
+    key = (doc_of << np.uint64(32)) | h.astype(np.uint64)
+    key.sort()
+    uniq = np.ones(key.shape[0], dtype=bool)
+    uniq[1:] = key[1:] != key[:-1]
+    ku = key[uniq]
+    values = (ku & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sizes = np.bincount((ku >> np.uint64(32)).astype(np.int64), minlength=n)
+    keep = sizes > 0
+    offsets = np.zeros(int(keep.sum()) + 1, dtype=np.int32)
+    np.cumsum(sizes[keep], out=offsets[1:])
+    sets = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.uint32())
+    )
+    return keep, sets
 
 
 def list_column_arrays(col) -> tuple[np.ndarray, np.ndarray]:

@@ -26,34 +26,51 @@ class SignStage:
     from the similarity graph (reference definitions.py:151-153).
     """
 
-    def __init__(self, config: DedupConfig | None = None):
+    def __init__(self, config: DedupConfig | None = None,
+                 emit_shingles: bool | None = None):
         cfg = config or DedupConfig()
         self.cfg = cfg
         from fastdup_ray.functions.minhash import make_signer
 
         self.mh = make_signer(cfg.signer, cfg.shingle_size, cfg.num_perms, cfg.seed)
+        # fused mode: also emit the sorted-unique shingle-set column, so
+        # the exact-verify stage never re-shingles the corpus (one text
+        # pass and one fewer pipeline barrier than a separate set stage)
+        self.emit_shingles = (
+            emit_shingles if emit_shingles is not None
+            else (cfg.fused_shingles and cfg.verify_mode == "exact")
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from fastdup_ray.functions.hashing import segmented_shingle_hashes
+
         if "is_valid" in batch.column_names:
             batch = batch.filter(batch["is_valid"])
         texts = batch["text"]  # stays an Arrow array end-to-end (zero-copy)
-        sig, n_shingles = self.mh.signatures(texts)
+        h, off = segmented_shingle_hashes(texts, self.cfg.shingle_size)
+        sig, n_shingles = self.mh.signatures_from_hashes(h, off)
         sh = simhash64(texts)
         keep = n_shingles > 0
         sig = sig[keep]
-        out = pa.table(
-            {
-                "doc_id": batch["doc_id"].filter(pa.array(keep)),
-                "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig.ravel(), pa.uint32()), self.cfg.num_perms
-                ),
-                # stored as int64 (bit-reinterpret) — Ray shuffles struggle
-                # with uint64 above 2^63; view back via .view(np.uint64)
-                "simhash": pa.array(sh[keep].view(np.int64), pa.int64()),
-                "n_shingles": pa.array(n_shingles[keep], pa.int64()),
-            }
-        )
-        return out
+        cols = {
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.ravel(), pa.uint32()), self.cfg.num_perms
+            ),
+            # stored as int64 (bit-reinterpret) — Ray shuffles struggle
+            # with uint64 above 2^63; view back via .view(np.uint64)
+            "simhash": pa.array(sh[keep].view(np.int64), pa.int64()),
+            "n_shingles": pa.array(n_shingles[keep], pa.int64()),
+        }
+        if self.emit_shingles:
+            from fastdup_ray.stages.shingles import sets_from_hashes
+
+            keep2, sets = sets_from_hashes(h, off, len(texts))
+            # same rows: a doc has >=1 raw shingle iff >=1 unique shingle
+            cols["shingles"] = (
+                sets if sets is not None else pa.array([], pa.list_(pa.uint32()))
+            )
+        return pa.table(cols)
 
 
 def signatures_to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
