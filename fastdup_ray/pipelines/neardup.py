@@ -271,9 +271,14 @@ class NearDupPipeline:
         fp_shingles = "unused"
         if cfg.verify_mode == "exact":
             if cfg.fused_shingles:
-                # fused: the signatures table already carries the sets —
-                # zero extra text passes, no extra stage barrier
-                shingle_sets = sigs.select_columns(["doc_id", "shingles"])
+                # fused: the signatures table already carries the sets.
+                # Materialize the 2-column projection ONCE — verify sizes
+                # it (count + sample) and packs it, and each of those
+                # would otherwise re-execute the projection over the full
+                # signatures table
+                shingle_sets = sigs.select_columns(
+                    ["doc_id", "shingles"]
+                ).materialize()
                 fp_shingles = fp_sigs
             else:
                 from fastdup_ray.stages.shingles import ShingleSetStage
