@@ -272,13 +272,10 @@ class NearDupPipeline:
         if cfg.verify_mode == "exact":
             if cfg.fused_shingles:
                 # fused: the signatures table already carries the sets.
-                # Materialize the 2-column projection ONCE — verify sizes
-                # it (count + sample) and packs it, and each of those
-                # would otherwise re-execute the projection over the full
-                # signatures table
-                shingle_sets = sigs.select_columns(
-                    ["doc_id", "shingles"]
-                ).materialize()
+                # Lazy projection: verify endpoint-filters it and
+                # materializes only the (small) filtered result, so the
+                # full-width projection is executed exactly once
+                shingle_sets = sigs.select_columns(["doc_id", "shingles"])
                 fp_shingles = fp_sigs
             else:
                 from fastdup_ray.stages.shingles import ShingleSetStage

@@ -395,11 +395,47 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
         )
     pairs = with_schema(pairs, {"src": pa.int64(), "dst": pa.int64()})
 
+    # Only pair ENDPOINTS are ever looked up, and endpoints scale with the
+    # candidate budget, not the corpus (~15% of docs here; a tiny fraction
+    # at 10^12 docs). Distinct-per-block in tasks, tiny union on the
+    # driver, broadcast once — every payload below is endpoint-filtered,
+    # shrinking the broadcast index (or the join's shipped side) by the
+    # corpus/endpoints ratio.
+    import ray as _ray
+
+    @_ray.remote
+    def _block_endpoints(t: pa.Table) -> np.ndarray:
+        return np.unique(
+            np.concatenate([
+                t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ])
+        )
+
+    parts = _ray.get([
+        _block_endpoints.remote(ref) for ref in pairs.to_arrow_refs()
+    ])
+    endpoints = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    ends_ref = _ray.put(endpoints)
+
+    def _endpoint_filter(batch: pa.Table) -> pa.Table:
+        ends = _ray.get(ends_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ends, ids), 0, max(0, ends.shape[0] - 1))
+        hit = ends[pos] == ids if ends.shape[0] else np.zeros(ids.shape[0], bool)
+        return batch.filter(pa.array(hit))
+
+    n_endpoints = int(endpoints.shape[0])
+
     # ---- broadcast path: payload table fits in the object store ----
     if cfg.verify_mode == "signature":
-        est_bytes = signatures.count() * cfg.num_perms * 4
+        est_bytes = n_endpoints * cfg.num_perms * 4
         if est_bytes <= cfg.verify_broadcast_max_bytes:
             packed = signatures.select_columns(["doc_id", "minhash"]).map_batches(
+                _endpoint_filter, batch_format="pyarrow"
+            ).map_batches(
                 _pack_minhash, batch_format="pyarrow"
             )
             refs, router = _build_index_shards(
@@ -413,13 +449,17 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
                 ShingleSetStage(cfg), batch_format="pyarrow",
                 batch_size=cfg.batch_size,
             ).materialize()
-        n_sh = shingle_sets.count()
+        # endpoint-filter BEFORE sizing: the index holds only docs that
+        # appear in a pair
+        shingle_sets = shingle_sets.map_batches(
+            _endpoint_filter, batch_format="pyarrow"
+        ).materialize()
         # rough payload estimate: avg set size x 4 bytes; sample 1k rows
         sample = shingle_sets.limit(1000).take_all()
         avg = (
             float(np.mean([len(r["shingles"]) for r in sample])) if sample else 0.0
         )
-        if n_sh * avg * 4 <= cfg.verify_broadcast_max_bytes:
+        if n_endpoints * avg * 4 <= cfg.verify_broadcast_max_bytes:
             packed = shingle_sets.map_batches(_pack_shingles, batch_format="pyarrow")
             refs, router = _build_index_shards(
                 packed, "sh_bin", cfg.verify_index_shards
@@ -432,6 +472,8 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
     # BINARY blobs and np.frombuffer them back in the verify kernel
     if cfg.verify_mode == "signature":
         side = signatures.select_columns(["doc_id", "minhash"]).map_batches(
+            _endpoint_filter, batch_format="pyarrow"
+        ).map_batches(
             _pack_minhash, batch_format="pyarrow"
         ).materialize()
         # cogroup_join, not Dataset.join: acero joins anti-scale at high
