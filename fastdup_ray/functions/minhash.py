@@ -129,13 +129,21 @@ class OnePermMinHasher:
     int64[n] n_shingles); zero-shingle docs keep the all-ones sentinel.
     """
 
-    _REMIX = np.uint32(0x9E3779B1)  # odd -> bijective over 2^32
-
     def __init__(self, shingle_size: int = 5, num_perms: int = 128, seed: int = 42):
-        if num_perms & (num_perms - 1):
-            raise ValueError("oph signer needs power-of-two num_perms")
+        # num_perms=0 passes a bare `x & (x-1)` check and num_perms=1 makes
+        # bin_shift 32 (uint32 >> 32 is C-undefined in numpy) — require a
+        # power of two >= 2 explicitly
+        if num_perms < 2 or num_perms & (num_perms - 1):
+            raise ValueError("oph signer needs power-of-two num_perms >= 2")
         self.k = shingle_size
         self.num_perms = num_perms
+        self.seed = seed
+        # seed selects the remix bijection (odd multiplier over 2^32) the
+        # way MinHasher's seed selects its permutations — different seeds
+        # give independent minwise samples instead of silently identical
+        # signatures (ADVICE r2)
+        rng = np.random.default_rng(seed)
+        self._remix = np.uint32(int(rng.integers(0, 2**32)) | 1)
         self.bin_shift = np.uint32(32 - int(num_perms).bit_length() + 1)
 
     def signatures(self, texts) -> tuple[np.ndarray, np.ndarray]:
@@ -155,7 +163,7 @@ class OnePermMinHasher:
         doc_of = np.repeat(np.arange(n, dtype=np.int64), n_shingles)
         bins = (hashes >> self.bin_shift).astype(np.int64)
         with np.errstate(over="ignore"):
-            vals = hashes * self._REMIX
+            vals = hashes * self._remix
         key = doc_of * K + bins  # == flat index into sig
         # chunked sort+reduceat+scatter-min: each slab's scratch stays
         # L2/arena-resident (a single whole-batch argsort allocates tens

@@ -33,7 +33,13 @@ def normalize_urls(arr) -> pa.Array:
     # host[/path][?query]
     hp = rest.str.extract(r"^(?P<host>[^/?]*)(?P<path>/[^?]*)?(?:\?(?P<query>.*))?$")
     host = hp["host"].fillna("").str.lower()
-    host = host.str.replace(r":(80|443)$", "", regex=True)
+    # strip only the scheme-matching default port: http://h:443/x and
+    # https://h:80/x are different resources and must NOT canonicalize
+    # to the portless form (schemeless urls default to http)
+    is_http = (scheme == "http://") | (scheme == "")
+    is_https = scheme == "https://"
+    host = host.where(~is_http, host.str.replace(r":80$", "", regex=True))
+    host = host.where(~is_https, host.str.replace(r":443$", "", regex=True))
     path = hp["path"].fillna("")
     path = path.str.replace(r"/{2,}", "/", regex=True)
     path = path.str.replace(r"(.)/$", r"\1", regex=True)

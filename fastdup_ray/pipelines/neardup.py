@@ -100,6 +100,20 @@ class NearDupPipeline:
         self.cfg = config or DedupConfig()
         self.work_dir = work_dir
         self.hooks = hooks or {}
+        if self.hooks and hooks_token is None:
+            # the default token is just the hook NAMES, so editing a hook's
+            # behavior without renaming it would let resume serve stale
+            # checkpoints — make that the loud path, not the silent one
+            import warnings
+
+            warnings.warn(
+                "NearDupPipeline(hooks=...) without hooks_token: resume "
+                "fingerprints only cover the hook NAMES. If you change a "
+                "hook's behavior, pass a new hooks_token (or resume=False) "
+                "or resumed stages will serve results from the old hook.",
+                UserWarning,
+                stacklevel=2,
+            )
         self.hooks_token = (
             hooks_token if hooks_token is not None
             else "+".join(sorted(self.hooks))

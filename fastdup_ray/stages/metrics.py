@@ -61,36 +61,37 @@ def classification_report(preds, *, label_col: str = "label",
             }
         )
     df = pd.DataFrame(counts)
-    classes = sorted(set(df["label"]) | set(df["pred"]))
-    tp = {c: 0 for c in classes}
-    fp = {c: 0 for c in classes}
-    fn = {c: 0 for c in classes}
+    classes = pd.Index(sorted(set(df["label"]) | set(df["pred"])))
     total = int(df["n"].sum())
-    correct = 0
-    for _, r in df.iterrows():
-        lab, pred, n = r["label"], r["pred"], int(r["n"])
-        if lab == pred:
-            tp[lab] += n
-            correct += n
-        else:
-            fn[lab] += n
-            fp[pred] += n
-    rows = []
-    for c in classes:
-        p = tp[c] / (tp[c] + fp[c]) if tp[c] + fp[c] else 0.0
-        r_ = tp[c] / (tp[c] + fn[c]) if tp[c] + fn[c] else 0.0
-        f1 = 2 * p * r_ / (p + r_) if p + r_ else 0.0
-        rows.append((str(c), round(p, 6), round(r_, 6), round(f1, 6),
-                     tp[c] + fn[c]))
+    diag = df["label"] == df["pred"]
+    correct = int(df.loc[diag, "n"].sum())
+    # vectorized count folds: tp from the diagonal, fp/fn from the
+    # off-diagonal sums grouped by pred/label (no per-row Python)
+    tp = (
+        df.loc[diag].groupby("label")["n"].sum()
+        .reindex(classes, fill_value=0).to_numpy(dtype=np.int64)
+    )
+    fp = (
+        df.loc[~diag].groupby("pred")["n"].sum()
+        .reindex(classes, fill_value=0).to_numpy(dtype=np.int64)
+    )
+    fn = (
+        df.loc[~diag].groupby("label")["n"].sum()
+        .reindex(classes, fill_value=0).to_numpy(dtype=np.int64)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+        r_ = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+        f1 = np.where(p + r_ > 0, 2 * p * r_ / np.maximum(p + r_, 1e-300), 0.0)
     acc = round(correct / total, 6) if total else 0.0
     return pa.table(
         {
-            "class": pa.array([r[0] for r in rows], pa.string()),
-            "precision": pa.array([r[1] for r in rows], pa.float64()),
-            "recall": pa.array([r[2] for r in rows], pa.float64()),
-            "f1": pa.array([r[3] for r in rows], pa.float64()),
-            "support": pa.array([r[4] for r in rows], pa.int64()),
-            "accuracy": pa.array([acc] * len(rows), pa.float64()),
+            "class": pa.array([str(c) for c in classes], pa.string()),
+            "precision": pa.array(np.round(p, 6), pa.float64()),
+            "recall": pa.array(np.round(r_, 6), pa.float64()),
+            "f1": pa.array(np.round(f1, 6), pa.float64()),
+            "support": pa.array(tp + fn, pa.int64()),
+            "accuracy": pa.array([acc] * len(classes), pa.float64()),
         }
     )
 

@@ -75,6 +75,8 @@ class MediaDecodeStage:
         self.decoder = decoder or _fake_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         col = batch[self.media_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -82,15 +84,20 @@ class MediaDecodeStage:
         width = np.zeros(n, np.int32)
         height = np.zeros(n, np.int32)
         frames = np.zeros(n, np.int32)
-        n_bytes = np.zeros(n, np.int64)
+        # buffer-level lengths — no per-row .as_py() for the metadata path
+        n_bytes = (
+            pc.fill_null(pc.binary_length(col), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         feats = np.zeros((n, _FEATURE_DIM), np.float64)
         errors = []
         for i in range(n):
-            payload = col[i].as_py() or b""
-            n_bytes[i] = len(payload)
-            if not payload:
+            # the per-row loop is inherent to the codec boundary (a real
+            # decoder takes one contiguous payload at a time)
+            if n_bytes[i] == 0:
                 errors.append(ERR_EMPTY_MEDIA)
                 continue
+            payload = col[i].as_py()
             try:
                 d = self.decoder(payload)
                 width[i] = d["width"]

@@ -232,6 +232,40 @@ def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 _EXACT_CHUNK_ELEMS = 256_000
 
 
+def _confirm_equal_ranges(vals_a, sa, vals_b, sb, lens) -> np.ndarray:
+    """Vectorized memcmp of aligned equal-length ranges:
+    out[i] = (vals_a[sa[i]:sa[i]+lens[i]] == vals_b[sb[i]:sb[i]+lens[i]]).
+
+    Used to CONFIRM the equal-hash short-circuit with real bytes — the
+    polynomial/FNV set hash is not adversarially collision-resistant, so
+    crafted distinct documents in an untrusted web corpus could otherwise
+    be scored as exact duplicates (ADVICE r2). Cost is O(matched bytes)
+    only for near-certain duplicates; chunked like _exact_scores_block so
+    scratch stays arena-resident.
+    """
+    n = lens.shape[0]
+    out = np.zeros(n, dtype=bool)
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        budget = int(lens[lo])
+        while hi < n and budget + lens[hi] <= _EXACT_CHUNK_ELEMS:
+            budget += int(lens[hi])
+            hi += 1
+        ln = lens[lo:hi]
+        ia = _gather_ranges(sa[lo:hi], ln)
+        ib = _gather_ranges(sb[lo:hi], ln)
+        neq = vals_a[ia] != vals_b[ib]
+        m = hi - lo
+        if neq.any():
+            seg = np.repeat(np.arange(m, dtype=np.int64), ln)
+            out[lo:hi] = np.bincount(seg[neq], minlength=m) == 0
+        else:
+            out[lo:hi] = True
+        lo = hi
+    return out
+
+
 def _exact_scores_block(vals_a, sa, ea, vals_b, sb, eb, out, out_rows) -> None:
     """Vectorized exact Jaccard for aligned (sa,ea)x(sb,eb) range pairs.
 
@@ -331,10 +365,20 @@ def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
             sa, ea, ha = idx_s.lookup(src[rows])
             sb, eb, hb = idx_d.lookup(dst[rows])
             if not is_signature:
-                # equal packed-set hash + equal nonzero length -> J=1.0
-                # without an intersection (exact-dup endpoints; own-code
-                # 64-bit hash, false-equal odds ~ n_pairs * 2^-64)
+                # equal packed-set hash + equal nonzero length selects
+                # CANDIDATE exact-dup endpoints; a real byte comparison
+                # confirms before assigning J=1.0 (the hash alone is not
+                # adversarially collision-resistant — crafted collisions
+                # in an untrusted corpus must not merge components).
+                # Unconfirmed rows fall through to the full intersection.
                 same = (ha == hb) & (ea - sa == eb - sb) & (ea > sa)
+                if same.any():
+                    cand = np.flatnonzero(same)
+                    conf = _confirm_equal_ranges(
+                        idx_s.values, sa[cand], idx_d.values, sb[cand],
+                        ea[cand] - sa[cand],
+                    )
+                    same[cand[~conf]] = False
                 if same.any():
                     dist[rows[same]] = 1.0
                     rest = ~same
@@ -397,10 +441,11 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
 
     # Only pair ENDPOINTS are ever looked up, and endpoints scale with the
     # candidate budget, not the corpus (~15% of docs here; a tiny fraction
-    # at 10^12 docs). Distinct-per-block in tasks, tiny union on the
-    # driver, broadcast once — every payload below is endpoint-filtered,
-    # shrinking the broadcast index (or the join's shipped side) by the
-    # corpus/endpoints ratio.
+    # at 10^12 docs). Distinct-per-block in tasks, then a TREE-REDUCE of
+    # the sorted-unique arrays entirely in tasks — the endpoint set never
+    # lands on the driver (only its length does), so the driver holds
+    # O(1) regardless of candidate count. The final reduce's ObjectRef is
+    # the broadcast handle every filter task reads zero-copy.
     import ray as _ray
 
     @_ray.remote
@@ -412,13 +457,26 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
             ])
         )
 
-    parts = _ray.get([
-        _block_endpoints.remote(ref) for ref in pairs.to_arrow_refs()
-    ])
-    endpoints = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    )
-    ends_ref = _ray.put(endpoints)
+    @_ray.remote
+    def _merge_unique(*arrs) -> np.ndarray:
+        return np.unique(np.concatenate(arrs))
+
+    @_ray.remote
+    def _arr_len(a: np.ndarray) -> int:
+        return int(a.shape[0])
+
+    end_refs = [_block_endpoints.remote(ref) for ref in pairs.to_arrow_refs()]
+    if not end_refs:
+        ends_ref = _ray.put(np.empty(0, np.int64))
+    else:
+        fan = 8
+        while len(end_refs) > 1:
+            end_refs = [
+                _merge_unique.remote(*end_refs[i : i + fan])
+                for i in range(0, len(end_refs), fan)
+            ]
+        ends_ref = end_refs[0]
+    n_endpoints = int(_ray.get(_arr_len.remote(ends_ref)))
 
     def _endpoint_filter(batch: pa.Table) -> pa.Table:
         ends = _ray.get(ends_ref)
@@ -426,8 +484,6 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
         pos = np.clip(np.searchsorted(ends, ids), 0, max(0, ends.shape[0] - 1))
         hit = ends[pos] == ids if ends.shape[0] else np.zeros(ids.shape[0], bool)
         return batch.filter(pa.array(hit))
-
-    n_endpoints = int(endpoints.shape[0])
 
     # ---- broadcast path: payload table fits in the object store ----
     if cfg.verify_mode == "signature":
