@@ -117,3 +117,54 @@ def test_verify_endpoints_never_materialize_on_driver(ray_session):
     scores = verify_pairs(pairs, sigs, ds, cfg).take_all()
     assert len(scores) == len(texts)
     assert all(abs(r["distance"] - 1.0) < 1e-12 for r in scores)
+
+
+# ------------------------------------------------ search index persistence
+def test_search_index_persist_and_reload(ray_session, tmp_path):
+    """VERDICT r2 #3: save the CSR arrays, kill the actors, reload —
+    identical query results. Also exercises the distributed map_batches
+    ingest path (no driver-side iter_batches loop)."""
+    from fastdup_ray.sources.pages import synthesize_pages
+    from fastdup_ray.stages.extract import HtmlExtractStage
+    from fastdup_ray.stages.signatures import SignStage
+    from fastdup_ray.state.search import (
+        ShardedSearchIndex,
+        build_search_index,
+        load_search_index,
+        save_search_index,
+    )
+
+    pages, truth = synthesize_pages(200, seed=7)
+    cfg = DedupConfig()
+    docs = rd.from_arrow(HtmlExtractStage(cfg.min_text_len)(pages)).repartition(4)
+    sigs = docs.map_batches(SignStage(cfg), batch_format="pyarrow").materialize()
+
+    queries = [t for t in pages["text"].to_pylist() if t][:8]
+    for shards in (1, 4):
+        idx = build_search_index(sigs, cfg, num_shards=shards)
+        if shards == 1:
+            before = [ray.get(idx.query_text.remote(q, k=5)) for q in queries]
+            n_before = ray.get(idx.stats.remote())["n_docs"]
+        else:
+            before = [idx.query_text(q, k=5) for q in queries]
+            n_before = idx.stats()["n_docs"]
+        assert n_before == sigs.count()
+        d = str(tmp_path / f"searchidx_{shards}")
+        save_search_index(idx, d)
+        # kill every actor: the reload must not depend on live state
+        actors = idx.actors if isinstance(idx, ShardedSearchIndex) else [idx]
+        for a in actors:
+            ray.kill(a)
+        reloaded = load_search_index(d)
+        if shards == 1:
+            after = [ray.get(reloaded.query_text.remote(q, k=5)) for q in queries]
+        else:
+            assert reloaded.num_shards == shards
+            after = [reloaded.query_text(q, k=5) for q in queries]
+        assert after == before
+        racts = (
+            reloaded.actors if isinstance(reloaded, ShardedSearchIndex)
+            else [reloaded]
+        )
+        for a in racts:
+            ray.kill(a)
