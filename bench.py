@@ -116,9 +116,17 @@ def run_bench() -> dict:
     # stage silently fell back to the join path. This box (and a typical
     # cluster node) holds the sharded index comfortably; the join
     # fallback has its own equivalence test.
+    # BENCH_FUSED=1 runs extract+sign as one wide docsig stage
+    # (equivalence pytest-pinned) — measured a WASH-to-loss on this box
+    # at 2M pages (every signature consumer re-projects the wide blocks),
+    # so the split stages stay the default. BENCH_SIGNER=oph switches the
+    # sign stage to one-permutation hashing (1 shingle pass instead of
+    # 128; e2e recall >=0.99 pytest-gated).
     cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu,
                       checkpoint_stages=ckpt,
-                      verify_broadcast_max_bytes=16_000_000_000)
+                      verify_broadcast_max_bytes=16_000_000_000,
+                      fused_extract_sign=os.environ.get("BENCH_FUSED", "0") == "1",
+                      signer=os.environ.get("BENCH_SIGNER", "minhash"))
     pipe = NearDupPipeline(cfg, work_dir=work_dir)
 
     probe = wait_for_healthy_host(
@@ -151,7 +159,7 @@ def run_bench() -> dict:
     probe_max_mid = round(max((p for _, p in samples), default=0.0), 3)
     # per-stage walls from the checkpoint manifests (reporting only)
     stage_walls = {}
-    for stage in ("docs", "signatures", "shingles", "pairs",
+    for stage in ("docs", "signatures", "docsig", "shingles", "pairs",
                   "pair_scores", "components"):
         try:
             man = json.load(open(os.path.join(work_dir, stage, "manifest.json")))
@@ -182,6 +190,8 @@ def run_bench() -> dict:
         "chars_p90", "prefix_dup_pairs", "token_totals", "minhash_components",
         "simhash_fingerprints", "ann_topk", "windowed_events",
         "customer_revenue_topk", "customers_without_orders", "pricing_summary",
+        # round-2 additions, benched so the driver catches regressions
+        "outliers", "pagerank", "dedup_survivors",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

@@ -54,6 +54,16 @@ class DedupConfig:
                                    # shingle-set column alongside the signatures (ONE
                                    # shingling pass over the text and one fewer pipeline
                                    # barrier); False restores the separate set stage
+    fused_extract_sign: bool = False  # run extract+sign as ONE fused task pipeline
+                                   # producing a single wide `docsig` materialization
+                                   # (docs columns + signature columns per row); docs
+                                   # and signatures become zero-copy projections of it.
+                                   # Removes a full object-store write+read of the
+                                   # extracted text between the two map stages — the
+                                   # single-box memory-bus lever for the two
+                                   # sub-linear map stages. Default off: the split
+                                   # stages keep docs/signatures independently
+                                   # resumable.
     # when the corpus' packed shingle sets fit under this many bytes, the
     # verify stage broadcasts them once via ray.put (one zero-copy plasma
     # read per node) and scores pairs with pure lookups — no payload
@@ -65,6 +75,13 @@ class DedupConfig:
     # zero-copy plasma read; on a multi-node cluster pairs can be
     # pre-partitioned by src shard so each node holds a subset.
     verify_index_shards: int = 16
+    # multi-node verify routing: shuffle candidate pairs by their
+    # (src_shard, dst_shard) group before scoring, so each verify task
+    # reads AT MOST TWO index shards (pinnable per node on a real
+    # cluster instead of every node faulting in every shard). Costs one
+    # extra candidate-sized shuffle; off by default on a single node
+    # where every shard is a local zero-copy plasma read anyway.
+    verify_route_pairs: bool = False
 
     # --- skew handling (hot LSH buckets; SURVEY.md §4 "Skew") ---
     max_bucket_pairs: int = 32     # buckets with <= this many docs emit all C(m,2) pairs;

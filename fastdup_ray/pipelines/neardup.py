@@ -234,6 +234,9 @@ class NearDupPipeline:
                 _dir_fingerprint(pages_path) if pages_path else f"adhoc:{time.time_ns()}"
             )
 
+        if cfg.fused_extract_sign and not already_extracted:
+            return self._run_fused(pages, input_token, resume)
+
         if already_extracted:
             # S11 precomputed-input path (reference run_mode=2 skips
             # extraction, RUN.md:194-227): `pages` is already a docs table
@@ -270,7 +273,53 @@ class NearDupPipeline:
             ),
             resume=resume,
         )
+        return self._run_tail(docs, fp_docs, sigs, fp_sigs, resume)
 
+    def _run_fused(self, pages, input_token: str, resume: bool) -> "NearDupResult":
+        """Fused extract+sign: ONE task pipeline (Ray Data fuses the two
+        unmaterialized map_batches) producing a single wide `docsig`
+        materialization; `docs` and `signatures` are projections of it.
+        Saves a full object-store write+read of the extracted text
+        between the stages — the memory-bus lever for the two sub-linear
+        map stages on a single box (VERDICT r2 #2)."""
+        cfg = self.cfg
+
+        def build_docsig():
+            lazy = pages.map_batches(
+                HtmlExtractStage(cfg.min_text_len),
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+            )
+            lazy = self._hook("post_extract", lazy)
+            return lazy.map_batches(
+                SignStage(cfg, keep_docs=True),
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+            )
+
+        docsig, fp_ds = self._stage(
+            "docsig", [input_token, self.hooks_token], build_docsig, resume=resume
+        )
+        doc_cols = ["doc_id", "url", "warc_ts", "lang", "text", "n_bytes",
+                    "error_code", "is_valid"]
+        schema = docsig.schema()
+        doc_cols = [c for c in doc_cols if c in schema.names]
+        sig_cols = ["doc_id", "minhash", "simhash", "n_shingles"]
+        if "shingles" in schema.names:
+            sig_cols.append("shingles")
+        docs = docsig.select_columns(doc_cols)
+
+        def project_sigs(batch: pa.Table) -> pa.Table:
+            keep = pa.compute.and_(
+                batch["is_valid"],
+                pa.compute.greater(batch["n_shingles"], pa.scalar(0)),
+            )
+            return batch.filter(keep).select(sig_cols)
+
+        sigs = docsig.map_batches(project_sigs, batch_format="pyarrow")
+        return self._run_tail(docs, fp_ds, sigs, fp_ds, resume)
+
+    def _run_tail(self, docs, fp_docs: str, sigs, fp_sigs: str,
+                  resume: bool) -> "NearDupResult":
+        cfg = self.cfg
         pairs, fp_pairs = self._stage(
             "pairs", [fp_sigs],
             lambda: candidate_pairs(

@@ -30,6 +30,10 @@ from fastdup_ray.relational.ops import (
     hash_join,
     partitioned_groupby,
 )
+from fastdup_ray.pipelines.sql_hash import (
+    SQL_SIMHASH_FINGERPRINTS,
+    SQL_SIMHASH_NEAR_DUP_PAIRS,
+)
 from fastdup_ray.stages.stats import TextStatsStage
 
 
@@ -476,13 +480,29 @@ def q_simhash_near_dup_pairs(sf_dir: str):
 
 
 def q_substring_dup_pairs(sf_dir: str):
-    """Exact-substring dedup (rows-only): fingerprint-anchored pairs whose
-    maximal shared byte run >= 128 (shorter than the web default — the
-    documents fixtures are small)."""
+    """Exact-substring dedup, SQL-oracled: pairs whose maximal shared
+    byte run >= 128 (shorter than the web default — the documents
+    fixtures are small). The catalog query runs the stage with
+    substring_sample_mod=1 (an anchor at EVERY window, no sampling), so
+    its pair set is exactly "docs sharing a >=128-byte run" — which SQL
+    expresses as sharing any 128-char substring (fixtures are ASCII, so
+    bytes == chars). The production sampled mode (mod=16, documented
+    miss probability) keeps its own pytest oracle."""
     from fastdup_ray.stages.substring import substring_pairs
 
-    cfg = DedupConfig(substring_len=128)
-    return substring_pairs(_t(sf_dir, "documents", ["doc_id", "text"]), cfg)
+    cfg = DedupConfig(substring_len=128, substring_sample_mod=1)
+    pairs = substring_pairs(_t(sf_dir, "documents", ["doc_id", "text"]), cfg)
+    return pairs.select_columns(["src", "dst"])
+
+
+SQL_SUBSTRING_DUP_PAIRS = """
+WITH g AS (
+  SELECT doc_id, substring(text, r.i + 1, 128) AS gram
+  FROM documents, unnest(range(greatest(length(text) - 127, 0))) AS r(i)
+)
+SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+"""
 
 
 def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
@@ -1883,6 +1903,11 @@ def oracle_sql():
         "url_components": SQL_URL_COMPONENTS,
         "knn_lists": SQL_KNN_LISTS,
         "kmeans_assign": SQL_KMEANS_ASSIGN,
-        # minhash_components / simhash_fingerprints: probabilistic or
-        # hash-defined -> rows-only check by design
+        # simhash is hash-defined but the hash IS SQL-expressible: the
+        # generated mod-2^64 arithmetic twins in sql_hash.py reproduce
+        # hash64_segmented + simhash64 bit-for-bit in DuckDB (r3)
+        "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+        "simhash_near_dup_pairs": SQL_SIMHASH_NEAR_DUP_PAIRS,
+        "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
+        # minhash_components: probabilistic (LSH) -> rows-only by design
     }

@@ -1,0 +1,143 @@
+"""DuckDB-SQL twins of the engine's own hash kernels.
+
+The simhash queries were `no_oracle` in round 2 ("hash-defined, not
+SQL-expressible"). They ARE expressible: DuckDB has 128-bit HUGEINT, so
+mod-2^64 wrapping arithmetic — the only non-SQL ingredient of
+`functions/hashing.hash64_segmented` and `functions/simhash.simhash64`
+— can be written as split 32x32-bit multiplies. This module GENERATES
+that SQL from the same constants the numpy kernels use, so the oracle
+can never drift from the implementation silently (same pattern as the
+stopword-dict-generated SQL_TEXT_QUALITY).
+
+Cost model: the fingerprint CTE is byte-level rows (~len(text) rows per
+doc), fine at the sf0.01 correctness-gate scale the driver runs; these
+oracles exist for the gate, not for production.
+"""
+
+from __future__ import annotations
+
+_B = 0x100000001B3            # FNV-64 prime (polynomial base)
+_M1 = 0xFF51AFD7ED558CCD      # fmix64 multipliers
+_M2 = 0xC4CEB9FE1A85EC53
+_FNV = 0xCBF29CE484222325     # FNV offset basis (length salt)
+_TWO64 = 1 << 64
+
+
+def _mul(a: str, b: str) -> str:
+    """mod-2^64 product of two UBIGINT SQL expressions: split each into
+    32-bit halves so every HUGEINT intermediate stays < 2^97."""
+    return (
+        "CAST((("
+        f"CAST(({a}) % 4294967296 AS HUGEINT) * CAST(({b}) % 4294967296 AS HUGEINT)"
+        f" + ((CAST(({a}) // 4294967296 AS HUGEINT) * CAST(({b}) % 4294967296 AS HUGEINT)"
+        f" + CAST(({a}) % 4294967296 AS HUGEINT) * CAST(({b}) // 4294967296 AS HUGEINT))"
+        f" % 4294967296) * CAST(4294967296 AS HUGEINT)"
+        f") % CAST('{_TWO64}' AS HUGEINT)) AS UBIGINT)"
+    )
+
+
+def _xs33(x: str) -> str:
+    """One xorshift step of fmix64: x ^ (x >> 33)."""
+    return f"xor({x}, ({x}) >> 33)"
+
+
+def simhash_fp_ctes(doc_table: str = "documents") -> str:
+    """CTE chain (for a WITH RECURSIVE): {doc_table}(doc_id, text) ->
+    fp(doc_id, simhash BIGINT), reproducing simhash64 exactly —
+    whitespace tokens, per-token polynomial byte hash with the FNV-64
+    prime, xor'd with fmix64(len + offset), fmix64-finished, then 64
+    per-bit majority votes in the unpackbits byte-order layout
+    (fingerprint bit c <- hash bit 8*(c//8)+7-c%8), reinterpreted as
+    int64 like the signatures table's simhash column.
+    """
+    vote_cols = ",\n      ".join(
+        f"SUM(CAST((h >> {8 * (c // 8) + 7 - c % 8}) & 1 AS BIGINT)) AS s{c}"
+        for c in range(64)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN 2*s{c} > n THEN CAST('{1 << c}' AS HUGEINT) ELSE 0 END"
+        for c in range(64)
+    )
+    return f"""
+  pows(e, p) AS (
+    SELECT 0, CAST(1 AS UBIGINT)
+    UNION ALL SELECT e + 1, {_mul('p', str(_B))} FROM pows WHERE e < 600
+  ),
+  tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {doc_table}),
+  tok AS (
+    SELECT doc_id, r.i AS tpos, toks[r.i + 1] AS tok,
+           length(toks[r.i + 1]) AS tlen
+    FROM tl, unnest(range(len(toks))) AS r(i)
+    WHERE length(toks[r.i + 1]) > 0
+  ),
+  tbytes AS (
+    SELECT doc_id, tpos, tlen, b.j AS j,
+           CAST(ord(substring(tok, CAST(b.j AS INTEGER) + 1, 1)) AS UBIGINT) AS byte
+    FROM tok, unnest(range(tlen)) AS b(j)
+  ),
+  tpoly AS (
+    SELECT doc_id, tpos, any_value(tlen) AS tlen,
+           CAST(SUM(CAST({_mul('byte', 'p')} AS HUGEINT)) % CAST('{_TWO64}' AS HUGEINT) AS UBIGINT) AS poly
+    FROM tbytes JOIN pows ON pows.e = tlen - 1 - j
+    GROUP BY doc_id, tpos
+  ),
+  m0 AS (SELECT doc_id, tpos, poly,
+                CAST((CAST(tlen AS HUGEINT) + CAST('{_FNV}' AS HUGEINT)) % CAST('{_TWO64}' AS HUGEINT) AS UBIGINT) AS x
+         FROM tpoly),
+  m1 AS (SELECT doc_id, tpos, poly, {_xs33('x')} AS x FROM m0),
+  m2 AS (SELECT doc_id, tpos, poly, {_mul('x', str(_M1))} AS x FROM m1),
+  m3 AS (SELECT doc_id, tpos, poly, {_xs33('x')} AS x FROM m2),
+  m4 AS (SELECT doc_id, tpos, poly, {_mul('x', str(_M2))} AS x FROM m3),
+  m5 AS (SELECT doc_id, tpos, xor(poly, {_xs33('x')}) AS x FROM m4),
+  h1 AS (SELECT doc_id, tpos, {_xs33('x')} AS x FROM m5),
+  h2 AS (SELECT doc_id, tpos, {_mul('x', str(_M1))} AS x FROM h1),
+  h3 AS (SELECT doc_id, tpos, {_xs33('x')} AS x FROM h2),
+  h4 AS (SELECT doc_id, tpos, {_mul('x', str(_M2))} AS x FROM h3),
+  th AS (SELECT doc_id, tpos, {_xs33('x')} AS h FROM h4),
+  votes AS (
+    SELECT doc_id, COUNT(*) AS n,
+      {vote_cols}
+    FROM th GROUP BY doc_id
+  ),
+  fp AS (
+    SELECT doc_id,
+      CAST(CASE WHEN fpu >= CAST('{1 << 63}' AS HUGEINT)
+                THEN fpu - CAST('{_TWO64}' AS HUGEINT) ELSE fpu END AS BIGINT) AS simhash
+    FROM (
+      -- docs with zero tokens vote nothing -> fingerprint 0
+      SELECT d.doc_id, COALESCE(v.f, 0) AS fpu
+      FROM {doc_table} d LEFT JOIN (
+        SELECT doc_id, ({fp_expr}) AS f FROM votes
+      ) v ON d.doc_id = v.doc_id
+    )
+  )"""
+
+
+SQL_SIMHASH_FINGERPRINTS = (
+    "WITH RECURSIVE" + simhash_fp_ctes() + "\nSELECT doc_id, simhash FROM fp"
+)
+
+# Pair-list twin of stages/simhash_pairs.simhash_candidate_pairs for the
+# non-pathological case the fixtures are in (identical-fingerprint groups
+# <= max_bucket_pairs, distinct values per quarter bucket <=
+# simhash_value_cap — both asserted by the r2 fixture's max group size 2):
+# intra-value cliques at hamming 0 plus canon-to-canon edges for distinct
+# values within hamming <= 3 (pigeonhole-exact, so "shares a quarter" and
+# "hamming <= 3" coincide).
+SQL_SIMHASH_NEAR_DUP_PAIRS = (
+    "WITH RECURSIVE" + simhash_fp_ctes() + """,
+  vals AS (SELECT simhash, MIN(doc_id) AS canon FROM fp GROUP BY simhash),
+  intra AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst, CAST(0 AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+  ),
+  cross_e AS (
+    SELECT LEAST(a.canon, b.canon) AS src, GREATEST(a.canon, b.canon) AS dst,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM vals a JOIN vals b ON a.simhash < b.simhash
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+  )
+  SELECT src, dst, hamming, 1.0 - hamming / 64.0 AS distance
+  FROM (SELECT DISTINCT * FROM (SELECT * FROM intra UNION ALL SELECT * FROM cross_e))
+"""
+)

@@ -102,6 +102,112 @@ def train_ivf_centroids(ds, n_centroids: int, *, embedding_col: str = "embedding
     return cent
 
 
+def train_kmeans(ds, n_centroids: int, *, embedding_col: str = "embedding",
+                 iters: int = 10, seed: int = 42,
+                 init_sample_rows: int = 20_000) -> np.ndarray:
+    """Distributed full-EM KMeans (reference run_mode=5 parity,
+    reference __init__.py:2681-2801): every Lloyd iteration scans the
+    FULL table as one map_batches pass emitting per-batch partial sums
+    (one (k, d) matrix + k counts per batch); only those small partials
+    reach the driver, which updates and re-broadcasts the centroids.
+    Driver memory is O(k*d) regardless of corpus size — unlike
+    `train_ivf_centroids`, which Lloyd-iterates a driver-side sample and
+    exists as the cheap IVF-bootstrap path.
+
+    Vectors are L2-normalized (spherical k-means, cosine assignment like
+    the reference's cosine NN metric); empty clusters keep their previous
+    centroid. Deterministic given (seed, data): seeded init, and
+    per-batch partials are float64 sums whose reduce order only perturbs
+    ~1e-15 relative — assignments are stable for non-degenerate data.
+    """
+    # seeded init from a bounded driver-side sample (k rows of it)
+    cent = train_ivf_centroids(
+        ds, n_centroids, embedding_col=embedding_col,
+        sample_rows=init_sample_rows, iters=0, seed=seed,
+    )
+    k = cent.shape[0]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "sums": pa.array(
+                            [np.zeros(c.size, np.float64)], pa.list_(pa.float64())
+                        ),
+                        "counts": pa.array(
+                            [np.zeros(c.shape[0], np.int64)], pa.list_(pa.int64())
+                        ),
+                    }
+                )
+            _, m = _matrix(batch, embedding_col)
+            mn = _normalize(m)
+            a = (mn @ c.T).argmax(axis=1)
+            order = np.argsort(a, kind="stable")
+            a_s = order.shape[0] and a[order]
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, c.shape[1]), dtype=np.float64)
+            if order.shape[0]:
+                starts = np.flatnonzero(
+                    np.concatenate([[True], a_s[1:] != a_s[:-1]])
+                )
+                sums[a_s[starts]] = np.add.reduceat(mn[order], starts, axis=0)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
+                    "counts": pa.array([counts], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, cent.shape[1]), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for p in parts:
+            sums += np.asarray(p["sums"], np.float64).reshape(k, -1)
+            counts += np.asarray(p["counts"], np.int64)
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = new / norms
+    return cent
+
+
+def kmeans_topk_assignments(ds, centroids: np.ndarray, k: int = 2, *,
+                            embedding_col: str = "embedding"):
+    """Per-point top-k cluster assignments (vec_id, rank, cluster,
+    distance) — the reference run_mode=5 emits top-k nearest centroids
+    per point, not just the argmax (reference __init__.py:2694-2700).
+    rank 0 = nearest; distance = cosine to that centroid, 5dp."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        ids, m = _matrix(batch, embedding_col)
+        cos = _normalize(m) @ cent.T
+        kk = min(k, cent.shape[0])
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        n = ids.shape[0]
+        rows = np.repeat(np.arange(n), kk)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, kk), pa.int64()),
+                "rank": pa.array(np.tile(np.arange(kk, dtype=np.int32), n),
+                                 pa.int32()),
+                "cluster": pa.array(top.ravel().astype(np.int32), pa.int32()),
+                "distance": pa.array(
+                    np.round(cos[rows, top.ravel()], 5), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_assign(ds, centroids: np.ndarray, *, embedding_col: str = "embedding"):
     """Add a `cell` column: nearest-centroid id per row (map_batches pass)."""
     ref = ray.put(np.asarray(centroids, dtype=np.float64))

@@ -38,12 +38,118 @@ from fastdup_ray.stages.signatures import BandStage, SignStage
 from fastdup_ray.stages.verify import verify_pairs
 
 
+def component_medoids(components, signatures, config: DedupConfig | None = None):
+    """(component_id, doc_id): per component, the member whose MinHash
+    signature agrees with the component's per-slot MODAL signature in
+    the most slots — a linear-time medoid approximation under Jaccard
+    (the modal signature is the component's signature-space centroid;
+    E[slot agreement] = Jaccard, so max modal agreement ~ max mean
+    similarity to the members, the medoid notion of the reference's
+    representative selection, galleries.py:223-266). Deterministic:
+    modal value ties break to the smaller value, member ties to the
+    smaller doc_id. One vectorized sort per hash partition — no per-
+    component Python.
+
+    components: (doc_id, component_id); signatures: (doc_id, minhash).
+    """
+    from fastdup_ray.relational.ops import partitioned_groupby
+
+    cfg = config or DedupConfig()
+    P = cfg.num_perms
+    joined = cogroup_join(
+        components.select_columns(["doc_id", "component_id"]),
+        signatures.select_columns(["doc_id", "minhash"]).rename_columns(
+            {"doc_id": "sdoc"}
+        ),
+        on="doc_id", right_on="sdoc", num_parts=cfg.num_partitions,
+    )
+    joined = with_schema(
+        joined,
+        {"doc_id": pa.int64(), "component_id": pa.int64(),
+         "minhash": pa.list_(pa.uint32())},
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"component_id": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["minhash"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # works for list<uint32> and fixed_size_list<uint32> alike (the
+        # cogroup shuffle relaxes fixed_size_list to list)
+        sig = (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.uint32, copy=False).reshape(-1, P)
+        )
+        comp = t["component_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dense component index within this partition
+        uc, cidx = np.unique(comp, return_inverse=True)
+        nc = uc.shape[0]
+        # modal signature per (component, slot): one global sort of
+        # (comp_idx << 39 | slot << 32 | value) keys, run-length counts,
+        # then per (comp,slot) the max-count (tie: already value-ascending)
+        slot = np.tile(np.arange(P, dtype=np.uint64), ids.shape[0])
+        key = (
+            (np.repeat(cidx.astype(np.uint64), P) << np.uint64(39))
+            | (slot << np.uint64(32))
+            | sig.ravel().astype(np.uint64)
+        )
+        key.sort()
+        runs = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        counts = np.diff(np.append(runs, key.shape[0]))
+        rk = key[runs]
+        group = rk >> np.uint64(32)  # comp_idx*128 + slot, ascending
+        # within a group keys ascend by value; stable sort by -count keeps
+        # the smaller value first among equal counts
+        order = np.lexsort((np.arange(rk.shape[0]), -counts, group))
+        g_sorted = group[order]
+        first = np.flatnonzero(
+            np.concatenate([[True], g_sorted[1:] != g_sorted[:-1]])
+        )
+        # every (comp, slot) has >= 1 member entry -> exactly nc*P groups
+        mode = (rk[order[first]] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        mode = mode.reshape(nc, P)
+        score = (sig == mode[cidx]).sum(axis=1)
+        pick_order = np.lexsort((ids, -score, cidx))
+        lead = np.flatnonzero(
+            np.concatenate([[True], cidx[pick_order][1:] != cidx[pick_order][:-1]])
+        )
+        rows = pick_order[lead]
+        return pa.table(
+            {
+                "component_id": pa.array(comp[rows], pa.int64()),
+                "doc_id": pa.array(ids[rows], pa.int64()),
+            }
+        )
+
+    return partitioned_groupby(
+        joined, "component_id", pick, num_parts=cfg.num_partitions,
+        batch_format="pyarrow",
+    )
+
+
 def hierarchical_components(docs, components, config: DedupConfig | None = None,
-                            *, cluster_threshold: float = 0.7):
-    """docs: (doc_id, text, ...); components: (doc_id, component_id)."""
+                            *, cluster_threshold: float = 0.7,
+                            exemplar: str = "medoid", signatures=None):
+    """docs: (doc_id, text, ...); components: (doc_id, component_id).
+
+    exemplar: "medoid" (default) picks each component's most central
+    member by modal-signature agreement (`component_medoids`) — skewed
+    components with an atypical min-id member cluster correctly;
+    "canonical" restores the min-doc_id exemplar (cheaper: no member
+    signatures needed). signatures: optional (doc_id, minhash) Dataset
+    to reuse (e.g. the pipeline's signatures checkpoint); computed from
+    `docs` when absent in medoid mode.
+    """
     import ray.data as rd
 
     cfg = config or DedupConfig()
+    if exemplar not in ("medoid", "canonical"):
+        raise ValueError(f"unknown exemplar mode {exemplar!r}")
     sub_cfg = dataclasses.replace(
         cfg, threshold=cluster_threshold, cc_threshold=cluster_threshold
     )
@@ -71,18 +177,42 @@ def hierarchical_components(docs, components, config: DedupConfig | None = None,
     if exemplar_ids.count() == 0:
         return rd.from_arrow(empty_cl), rd.from_arrow(empty_ed)
 
-    exemplars = cogroup_join(
-        exemplar_ids,
-        docs.select_columns(["doc_id", "text"]).rename_columns(
-            {"doc_id": "xdoc"}
-        ),
-        on="component_id", right_on="xdoc", num_parts=cfg.num_partitions,
-    ).map_batches(
-        lambda b: pa.table(
-            {"doc_id": b["component_id"].cast(pa.int64()), "text": b["text"]}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if exemplar == "medoid":
+        if signatures is None:
+            signatures = docs.map_batches(
+                SignStage(cfg, emit_shingles=False), batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+        medoids = component_medoids(components, signatures, cfg)
+        # exemplar text = the medoid member's text, keyed by component_id
+        med_docs = cogroup_join(
+            medoids, docs.select_columns(["doc_id", "text"]).rename_columns(
+                {"doc_id": "xdoc"}
+            ),
+            on="doc_id", right_on="xdoc", num_parts=cfg.num_partitions,
+        )
+        exemplars = with_schema(
+            med_docs,
+            {"component_id": pa.int64(), "text": pa.string()},
+        ).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["component_id"], "text": b["text"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        exemplars = cogroup_join(
+            exemplar_ids,
+            docs.select_columns(["doc_id", "text"]).rename_columns(
+                {"doc_id": "xdoc"}
+            ),
+            on="component_id", right_on="xdoc", num_parts=cfg.num_partitions,
+        ).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["component_id"].cast(pa.int64()), "text": b["text"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
 
     sigs = exemplars.map_batches(
         SignStage(sub_cfg), batch_format="pyarrow", batch_size=cfg.batch_size

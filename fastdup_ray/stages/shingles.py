@@ -63,6 +63,30 @@ def sets_from_hashes(h: np.ndarray, off: np.ndarray, n: int):
     return keep, sets
 
 
+def sets_from_hashes_all(h: np.ndarray, off: np.ndarray, n: int) -> pa.ListArray:
+    """`sets_from_hashes` variant emitting a row for EVERY doc (zero-shingle
+    docs get an empty list) — the keep_docs/docsig layout where signature
+    columns stay row-aligned with the docs columns."""
+    if h.shape[0] == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array(np.empty(0, np.uint32), pa.uint32()),
+        )
+    doc_of = np.repeat(np.arange(n, dtype=np.uint64), np.diff(off))
+    key = (doc_of << np.uint64(32)) | h.astype(np.uint64)
+    key.sort()
+    uniq = np.ones(key.shape[0], dtype=bool)
+    uniq[1:] = key[1:] != key[:-1]
+    ku = key[uniq]
+    values = (ku & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sizes = np.bincount((ku >> np.uint64(32)).astype(np.int64), minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(sizes, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.uint32())
+    )
+
+
 def list_column_arrays(col) -> tuple[np.ndarray, np.ndarray]:
     """(offsets int64[n+1], values uint32[total]) from a list<uint32> column."""
     if isinstance(col, pa.ChunkedArray):

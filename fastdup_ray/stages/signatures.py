@@ -27,7 +27,7 @@ class SignStage:
     """
 
     def __init__(self, config: DedupConfig | None = None,
-                 emit_shingles: bool | None = None):
+                 emit_shingles: bool | None = None, keep_docs: bool = False):
         cfg = config or DedupConfig()
         self.cfg = cfg
         from fastdup_ray.functions.minhash import make_signer
@@ -40,36 +40,56 @@ class SignStage:
             emit_shingles if emit_shingles is not None
             else (cfg.fused_shingles and cfg.verify_mode == "exact")
         )
+        # keep_docs: emit the signature columns ALONGSIDE every input
+        # column for EVERY row (invalid rows keep the zero-shingle
+        # sentinel signature) — the wide `docsig` layout of the fused
+        # extract+sign stage. The caller projects docs/signature views
+        # out of the one materialization (filter is_valid & n_shingles>0
+        # for the signatures view).
+        self.keep_docs = keep_docs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from fastdup_ray.functions.hashing import segmented_shingle_hashes
 
-        if "is_valid" in batch.column_names:
+        if not self.keep_docs and "is_valid" in batch.column_names:
             batch = batch.filter(batch["is_valid"])
         texts = batch["text"]  # stays an Arrow array end-to-end (zero-copy)
+        if self.keep_docs and "is_valid" in batch.column_names:
+            # don't shingle invalid rows: blank them so error pages cost
+            # nothing and can never alias a valid signature
+            import pyarrow.compute as pc
+
+            texts = pc.if_else(batch["is_valid"], texts, pa.scalar(""))
         h, off = segmented_shingle_hashes(texts, self.cfg.shingle_size)
         sig, n_shingles = self.mh.signatures_from_hashes(h, off)
         sh = simhash64(texts)
-        keep = n_shingles > 0
+        if self.keep_docs:
+            keep = np.ones(len(texts), dtype=bool)
+            cols = {name: batch[name] for name in batch.column_names}
+        else:
+            keep = n_shingles > 0
+            cols = {"doc_id": batch["doc_id"].filter(pa.array(keep))}
         sig = sig[keep]
-        cols = {
-            "doc_id": batch["doc_id"].filter(pa.array(keep)),
-            "minhash": pa.FixedSizeListArray.from_arrays(
-                pa.array(sig.ravel(), pa.uint32()), self.cfg.num_perms
-            ),
-            # stored as int64 (bit-reinterpret) — Ray shuffles struggle
-            # with uint64 above 2^63; view back via .view(np.uint64)
-            "simhash": pa.array(sh[keep].view(np.int64), pa.int64()),
-            "n_shingles": pa.array(n_shingles[keep], pa.int64()),
-        }
+        cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.ravel(), pa.uint32()), self.cfg.num_perms
+        )
+        # stored as int64 (bit-reinterpret) — Ray shuffles struggle
+        # with uint64 above 2^63; view back via .view(np.uint64)
+        cols["simhash"] = pa.array(sh[keep].view(np.int64), pa.int64())
+        cols["n_shingles"] = pa.array(n_shingles[keep], pa.int64())
         if self.emit_shingles:
             from fastdup_ray.stages.shingles import sets_from_hashes
 
-            keep2, sets = sets_from_hashes(h, off, len(texts))
-            # same rows: a doc has >=1 raw shingle iff >=1 unique shingle
-            cols["shingles"] = (
-                sets if sets is not None else pa.array([], pa.list_(pa.uint32()))
-            )
+            if self.keep_docs:
+                from fastdup_ray.stages.shingles import sets_from_hashes_all
+
+                cols["shingles"] = sets_from_hashes_all(h, off, len(texts))
+            else:
+                keep2, sets = sets_from_hashes(h, off, len(texts))
+                # same rows: a doc has >=1 raw shingle iff >=1 unique shingle
+                cols["shingles"] = (
+                    sets if sets is not None else pa.array([], pa.list_(pa.uint32()))
+                )
         return pa.table(cols)
 
 

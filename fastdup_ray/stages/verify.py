@@ -312,7 +312,7 @@ def _exact_scores_block(vals_a, sa, ea, vals_b, sb, eb, out, out_rows) -> None:
 
 
 def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
-                      num_perms: int):
+                      num_perms: int, route_pairs: bool = False):
     """Score pairs against doc_id-sharded _SetIndex objects.
 
     Each map task routes its docs to shards via the router (one
@@ -320,11 +320,20 @@ def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
     fully vectorized kernel per group — no per-pair Python. Shard fetches
     are zero-copy plasma reads; a batch only touches the shards its docs
     live in.
+
+    route_pairs=True (cfg.verify_route_pairs) is the multi-node variant:
+    pairs are first SHUFFLED by their (src_shard, dst_shard) group so
+    every verify task reads AT MOST TWO index shards — on a real cluster
+    the scheduler can then pin shard pairs to the nodes that hold them
+    instead of every node faulting in every shard. The <=2 invariant is
+    asserted inside the kernel. Costs one extra candidate-sized shuffle;
+    single-node plasma makes it a wash there, so it defaults off.
     """
     import ray
 
     P = num_perms
     num_shards = len(shard_refs)
+    max_shard_touch = 2 if route_pairs else None
 
     def fn(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -406,6 +415,11 @@ def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
                 _exact_scores_block(
                     idx_s.values, sa, ea, idx_d.values, sb, eb, dist, rows
                 )
+        if max_shard_touch is not None and len(cache) > max_shard_touch:
+            raise AssertionError(
+                f"routed verify task touched {len(cache)} shards "
+                f"(> {max_shard_touch}); pair routing is broken"
+            )
         return pa.table(
             {
                 "src": batch["src"],
@@ -414,7 +428,31 @@ def _broadcast_verify(pairs, shard_refs, router_ref, *, is_signature: bool,
             }
         )
 
-    return pairs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    if not route_pairs:
+        return pairs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+    def add_group(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r_ids, r_shard = ray.get(router_ref)
+
+        def route(docs: np.ndarray) -> np.ndarray:
+            if r_ids.shape[0] == 0:
+                return np.zeros(docs.shape[0], np.int64)
+            pos = np.clip(np.searchsorted(r_ids, docs), 0, r_ids.shape[0] - 1)
+            return np.where(r_ids[pos] == docs, r_shard[pos], 0).astype(np.int64)
+
+        g = route(src) * num_shards + route(dst)
+        return batch.append_column("vgroup", pa.array(g, pa.int64()))
+
+    def score_group(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns(["vgroup"]))
+
+    return (
+        pairs.map_batches(add_group, batch_format="pyarrow")
+        .groupby("vgroup")
+        .map_groups(score_group, batch_format="pyarrow")
+    )
 
 
 def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
@@ -498,7 +536,8 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
                 packed, "mh_bin", cfg.verify_index_shards
             )
             return _broadcast_verify(pairs, refs, router, is_signature=True,
-                                     num_perms=cfg.num_perms)
+                                     num_perms=cfg.num_perms,
+                                     route_pairs=cfg.verify_route_pairs)
     else:
         if shingle_sets is None:
             shingle_sets = docs.map_batches(
@@ -521,7 +560,8 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
                 packed, "sh_bin", cfg.verify_index_shards
             )
             return _broadcast_verify(pairs, refs, router, is_signature=False,
-                                     num_perms=cfg.num_perms)
+                                     num_perms=cfg.num_perms,
+                                     route_pairs=cfg.verify_route_pairs)
 
     # acero rejects list-typed join payloads ("Data type list<uint32> is
     # not supported in join non-key field"): ship sets/signatures as

@@ -37,6 +37,9 @@ CHECKED = [
     "pagerank",
     "lang_confusion",
     "top_docs_per_source",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "substring_dup_pairs",
 ]
 
 

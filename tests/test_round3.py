@@ -168,3 +168,180 @@ def test_search_index_persist_and_reload(ray_session, tmp_path):
         )
         for a in racts:
             ray.kill(a)
+
+
+# ------------------------------------------------- fused extract+sign stage
+def test_fused_extract_sign_equivalence(ray_session, tmp_path_factory):
+    """cfg.fused_extract_sign=True (one wide docsig materialization) must
+    produce identical docs, signatures, edges and components to the split
+    two-stage path."""
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.sources.pages import synthesize_pages
+
+    pages, _ = synthesize_pages(600, seed=11)
+
+    def run(cfg, tag):
+        wd = str(tmp_path_factory.mktemp(f"wd_{tag}"))
+        pipe = NearDupPipeline(cfg, work_dir=wd)
+        return pipe.run(rd.from_arrow(pages).repartition(8), input_token=tag)
+
+    split = run(DedupConfig(), "split")
+    fused = run(DedupConfig(fused_extract_sign=True), "fused")
+
+    def table(ds, keys):
+        rows = sorted(ds.take_all(), key=lambda r: tuple(r[k] for k in keys))
+        return rows
+
+    d_s = table(split.docs().select_columns(
+        ["doc_id", "url", "text", "n_bytes", "error_code", "is_valid"]), ["doc_id"])
+    d_f = table(fused.docs().select_columns(
+        ["doc_id", "url", "text", "n_bytes", "error_code", "is_valid"]), ["doc_id"])
+    assert d_s == d_f
+    s_s = table(split.signatures().select_columns(
+        ["doc_id", "simhash", "n_shingles"]), ["doc_id"])
+    s_f = table(fused.signatures().select_columns(
+        ["doc_id", "simhash", "n_shingles"]), ["doc_id"])
+    assert s_s == s_f
+    e_s = table(split.pair_scores(), ["src", "dst"])
+    e_f = table(fused.pair_scores(), ["src", "dst"])
+    assert e_s == e_f
+    assert split.summary() == fused.summary()
+
+
+# -------------------------------------------------- multi-node verify routing
+def test_verify_route_pairs_matches_default(ray_session):
+    """cfg.verify_route_pairs: pairs shuffled by (src_shard, dst_shard)
+    so each verify task reads at most TWO index shards (the <=2 invariant
+    is asserted inside the kernel); scores must equal the unrouted path
+    exactly."""
+    from fastdup_ray.sources.pages import synthesize_pages
+    from fastdup_ray.stages.extract import HtmlExtractStage
+    from fastdup_ray.stages.lsh import candidate_pairs
+    from fastdup_ray.stages.signatures import BandStage, SignStage
+    from fastdup_ray.stages.verify import verify_pairs
+
+    pages, _ = synthesize_pages(500, seed=3)
+    base = DedupConfig(verify_index_shards=4)
+    docs = rd.from_arrow(HtmlExtractStage(base.min_text_len)(pages)).repartition(8)
+    sigs = docs.map_batches(SignStage(base), batch_format="pyarrow").materialize()
+    pairs = candidate_pairs(
+        sigs.map_batches(BandStage(base), batch_format="pyarrow"), base
+    ).materialize()
+    assert pairs.count() > 50
+
+    def scores(cfg):
+        out = verify_pairs(pairs, sigs, docs, cfg).take_all()
+        return sorted((r["src"], r["dst"], round(r["distance"], 12)) for r in out)
+
+    for mode in ("exact", "signature"):
+        plain = scores(dataclasses.replace(base, verify_mode=mode))
+        routed = scores(dataclasses.replace(
+            base, verify_mode=mode, verify_route_pairs=True))
+        assert routed == plain, f"routed {mode} verify diverged"
+
+
+# ------------------------------------------------------- distributed KMeans
+def test_train_kmeans_matches_driver_oracle(ray_session):
+    """Distributed full-EM Lloyd (map_batches partial sums) must match a
+    driver-side full-data Lloyd from the same seeded init."""
+    from fastdup_ray.stages.ann import (
+        _matrix,
+        _normalize,
+        kmeans_assignments,
+        kmeans_topk_assignments,
+        train_ivf_centroids,
+        train_kmeans,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(6)
+    k, iters = 8, 7
+    cent = train_kmeans(ds, k, iters=iters, seed=42)
+
+    # driver-side oracle: same init, same spherical Lloyd over ALL rows
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    m = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in rows]))
+    oracle = train_ivf_centroids(ds, k, iters=0, seed=42)
+    for _ in range(iters):
+        a = (m @ oracle.T).argmax(axis=1)
+        new = oracle.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                new[c] = m[sel].mean(axis=0)
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        oracle = new / norms
+    assert np.allclose(cent, oracle, rtol=1e-9, atol=1e-12)
+
+    # top-k artifact: rank 0 equals the argmax assignment everywhere
+    top = kmeans_topk_assignments(ds, cent, k=3).take_all()
+    argmax = {r["vec_id"]: r["cluster"] for r in kmeans_assignments(
+        ds, cent).take_all()}
+    seen = set()
+    for r in top:
+        assert 0 <= r["rank"] < 3
+        if r["rank"] == 0:
+            assert argmax[r["vec_id"]] == r["cluster"]
+            seen.add(r["vec_id"])
+    assert seen == set(ids.tolist())
+
+
+# --------------------------------------------------- medoid exemplars (G9)
+def test_hierarchy_medoid_exemplar_recovers_cluster(ray_session):
+    """Planted fixture: component c1's min-id member is an ATYPICAL text
+    (different theme); its other three members are theme-A. With
+    exemplar='medoid' c1 clusters with the theme-A component c2; with
+    exemplar='canonical' (min-id text) it does not."""
+    from fastdup_ray.stages.hierarchy import (
+        component_medoids,
+        hierarchical_components,
+    )
+    from fastdup_ray.stages.signatures import SignStage
+
+    theme_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon " * 6
+    )
+    theme_b = (
+        "zebra quokka wombat numbat dingo bilby bandicoot kookaburra "
+        "cassowary platypus echidna wallaby " * 8
+    )
+    rows = [
+        (1, theme_b),              # c1 min-id member: atypical
+        (10, theme_a + "one "),
+        (11, theme_a + "two "),
+        (12, theme_a + "three "),
+        (2, theme_a + "four "),    # c2: all theme A
+        (20, theme_a + "five "),
+        (21, theme_a + "six "),
+    ]
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )).repartition(3)
+    comps = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 10, 11, 12, 2, 20, 21], pa.int64()),
+         "component_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64())}
+    ))
+    cfg = DedupConfig(num_partitions=4)
+
+    sigs = docs.map_batches(
+        SignStage(cfg, emit_shingles=False), batch_format="pyarrow"
+    ).materialize()
+    med = {r["component_id"]: r["doc_id"]
+           for r in component_medoids(comps, sigs, cfg).take_all()}
+    assert med[1] in (10, 11, 12), f"medoid picked the atypical member: {med}"
+    assert med[2] in (2, 20, 21)
+
+    def clusters(exemplar):
+        cl, _ = hierarchical_components(
+            docs, comps, cfg, cluster_threshold=0.7, exemplar=exemplar,
+            signatures=sigs,
+        )
+        return {r["component_id"]: r["cluster_id"] for r in cl.take_all()}
+
+    m = clusters("medoid")
+    assert m[1] == m[2], f"medoid exemplars must merge the theme: {m}"
+    c = clusters("canonical")
+    assert c[1] != c[2], f"canonical (min-id) exemplar must miss it: {c}"
