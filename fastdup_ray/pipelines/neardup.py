@@ -580,34 +580,55 @@ class NearDupResult:
                 num_partitions=self.cfg.num_partitions,
             )
 
-        from fastdup_ray.relational.ops import partitioned_groupby
-
-        def decide(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(
-                ["component_id", "warc_ts", "url"], kind="mergesort"
-            ).reset_index(drop=True)
-            if policy == "none":
-                keep = np.zeros(len(df), dtype=bool)
-            elif policy == "majority":
-                keep = np.zeros(len(df), dtype=bool)
-                for _, g in df.groupby("component_id", sort=False):
-                    counts = g["label"].value_counts()
-                    if counts.iloc[0] > 1 or len(counts) == 1:
-                        winners = sorted(counts[counts == counts.max()].index)
-                        keep[g[g["label"] == winners[0]].index[0]] = True
-            else:
-                keep = (df.groupby("component_id", sort=False).cumcount() == 0).to_numpy()
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"].to_numpy(),
-                    "keep": keep,
-                    "component_id": df["component_id"].to_numpy(),
-                }
-            )
-
-        return partitioned_groupby(
-            labeled, "component_id", decide, num_parts=self.cfg.num_partitions
+        return keep_decisions(
+            labeled, policy, num_parts=self.cfg.num_partitions
         )
+
+
+def keep_decisions(labeled, policy: str, *, order_cols=("warc_ts", "url"),
+                   label_col: str = "label", num_parts: int = 32):
+    """Shared D4/D5 keep/drop decision kernel over an arbitrary
+    component-labeled table (used by NearDupResult.keep_table and the
+    oracled majority_keep catalog query).
+
+    labeled: Dataset with (doc_id, component_id, *order_cols[, label_col]).
+    policy "first": keep the member that sorts first by order_cols;
+    "none": drop every member; "majority": keep the first-sorted member
+    carrying the component's majority label (ties -> lexicographically
+    smallest label); a component whose labels are all distinct (every
+    count 1, >1 distinct) drops entirely. Returns
+    (doc_id, keep bool, component_id)."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import partitioned_groupby
+
+    if policy not in ("first", "none", "majority"):
+        raise ValueError(f"unknown keep policy {policy!r}")
+    sort_cols = ["component_id", *order_cols]
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        if policy == "none":
+            keep = np.zeros(len(df), dtype=bool)
+        elif policy == "majority":
+            keep = np.zeros(len(df), dtype=bool)
+            for _, g in df.groupby("component_id", sort=False):
+                counts = g[label_col].value_counts()
+                if counts.iloc[0] > 1 or len(counts) == 1:
+                    winners = sorted(counts[counts == counts.max()].index)
+                    keep[g[g[label_col] == winners[0]].index[0]] = True
+        else:
+            keep = (df.groupby("component_id", sort=False).cumcount() == 0).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "keep": keep,
+                "component_id": df["component_id"].to_numpy(),
+            }
+        )
+
+    return partitioned_groupby(labeled, "component_id", decide,
+                               num_parts=num_parts)
 
 
 def _symmetrize_scores(batch: pa.Table) -> pa.Table:

@@ -1428,6 +1428,76 @@ SELECT component_id, n_members, majority_lang FROM (
 """
 
 
+def q_majority_keep(sf_dir: str):
+    """D5 (label-majority keep/delete, reference __init__.py:1682-1736)
+    with a SQL oracle: shared-prefix dup clusters (>=2 members), label =
+    lang, ordering = doc_id. Runs the SAME decision kernel keep_table
+    uses (neardup.keep_decisions): keep the earliest member carrying the
+    component's majority label (ties -> smallest label); components with
+    all-distinct labels drop entirely."""
+    from fastdup_ray.functions.hashing import id63
+    from fastdup_ray.pipelines.neardup import keep_decisions
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "label": batch["lang"],
+                "bucket": pa.array(id63([t[:64] for t in texts]), pa.int64()),
+            }
+        )
+
+    def comps(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket")
+        out = df.assign(
+            component_id=g["doc_id"].transform("min"),
+            n=g["doc_id"].transform("size"),
+        )
+        out = out[out["n"] >= 2]
+        return out[["doc_id", "component_id", "label"]].astype(
+            {"doc_id": np.int64, "component_id": np.int64}
+        )
+
+    labeled = partitioned_groupby(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            keyed, batch_format="pyarrow"
+        ),
+        "bucket", comps, num_parts=8,
+    )
+    return keep_decisions(labeled, "majority", order_cols=("doc_id",),
+                          num_parts=8)
+
+
+SQL_MAJORITY_KEEP = """
+WITH c AS (
+  SELECT doc_id, lang,
+         min(doc_id) OVER (PARTITION BY substr(text,1,64)) AS component_id,
+         count(*)    OVER (PARTITION BY substr(text,1,64)) AS n_members
+  FROM documents
+),
+m AS (SELECT doc_id, lang, component_id FROM c WHERE n_members >= 2),
+counts AS (SELECT component_id, lang, count(*) AS cnt FROM m GROUP BY 1, 2),
+agg AS (SELECT component_id, max(cnt) AS mx, count(*) AS nd FROM counts GROUP BY 1),
+winner AS (
+  SELECT co.component_id, min(co.lang) AS wlang,
+         any_value(a.mx) AS mx, any_value(a.nd) AS nd
+  FROM counts co JOIN agg a
+    ON co.component_id = a.component_id AND co.cnt = a.mx
+  GROUP BY co.component_id
+),
+keeper AS (
+  SELECT m.component_id, min(m.doc_id) AS keep_doc
+  FROM m JOIN winner w
+    ON m.component_id = w.component_id AND m.lang = w.wlang
+  WHERE w.mx > 1 OR w.nd = 1
+  GROUP BY m.component_id
+)
+SELECT m.doc_id, COALESCE(m.doc_id = k.keep_doc, FALSE) AS keep, m.component_id
+FROM m LEFT JOIN keeper k ON m.component_id = k.component_id
+"""
+
+
 # ----------------------------------------------------------- URL normalizer
 def q_url_components(sf_dir: str):
     """M11 (filename/url normalizers) differential test: construct a messy
@@ -1512,6 +1582,60 @@ QUALIFY row_number() OVER (
   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
            c.cluster ASC
 ) = 1
+"""
+
+
+def q_kmeans_topk(sf_dir: str, n_centroids: int = 16, k: int = 3):
+    """G6 top-k variant with a SQL oracle: the reference's run_mode=5
+    emits each point's top-k nearest centroids, not just the argmax
+    (reference __init__.py:2694-2700). Same deterministic centroids as
+    kmeans_assign; `kmeans_topk_assignments` emits
+    (vec_id, rank, cluster, distance), rank 0 = nearest."""
+    from fastdup_ray.stages.ann import _normalize, kmeans_topk_assignments
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = sorted(
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_centroids))),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    out = kmeans_topk_assignments(ds, cent, k=k)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "rank": b["rank"].cast(pa.int64()),
+                "cluster": b["cluster"].cast(pa.int64()),
+                "distance": b["distance"],
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+SQL_KMEANS_TOPK = """
+WITH cent AS (
+  SELECT vec_id AS cluster, embedding FROM embeddings WHERE vec_id < 16
+),
+ranked AS (
+  SELECT e.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.cluster ASC
+         ) - 1 AS rank
+  FROM embeddings e JOIN cent c ON TRUE
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, cluster,
+       ROUND(cos, 5) AS distance
+FROM ranked WHERE rank < 3
 """
 
 
@@ -1834,9 +1958,11 @@ def queries():
         "top_docs_per_source": q_top_docs_per_source,
         "stats_filtered_dups": q_stats_filtered_dups,
         "component_majority_label": q_component_majority_label,
+        "majority_keep": q_majority_keep,
         "url_components": q_url_components,
         "knn_lists": q_knn_lists,
         "kmeans_assign": q_kmeans_assign,
+        "kmeans_topk": q_kmeans_topk,
         "doc_stats": q_doc_stats,
         "exact_dup_components": q_exact_dup_components,
         "lang_summary": q_lang_summary,
@@ -1900,9 +2026,11 @@ def oracle_sql():
         "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
         "stats_filtered_dups": SQL_STATS_FILTERED_DUPS,
         "component_majority_label": SQL_COMPONENT_MAJORITY_LABEL,
+        "majority_keep": SQL_MAJORITY_KEEP,
         "url_components": SQL_URL_COMPONENTS,
         "knn_lists": SQL_KNN_LISTS,
         "kmeans_assign": SQL_KMEANS_ASSIGN,
+        "kmeans_topk": SQL_KMEANS_TOPK,
         # simhash is hash-defined but the hash IS SQL-expressible: the
         # generated mod-2^64 arithmetic twins in sql_hash.py reproduce
         # hash64_segmented + simhash64 bit-for-bit in DuckDB (r3)

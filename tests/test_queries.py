@@ -28,9 +28,11 @@ CHECKED = [
     "pricing_summary",
     "stats_filtered_dups",
     "component_majority_label",
+    "majority_keep",
     "url_components",
     "knn_lists",
     "kmeans_assign",
+    "kmeans_topk",
     "dedup_survivors",
     "domain_pair_summary",
     "text_quality",
