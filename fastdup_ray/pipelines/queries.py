@@ -1951,6 +1951,89 @@ FROM rates
 SQL_LANG_CONFUSION = _sql_lang_confusion()
 
 
+# ------------------------------------------------- enrichment (M7/M8/M5)
+def q_doc_captions(sf_dir: str):
+    """M7 captioning analog (reference captions.py:65-97): deterministic
+    extractive caption per document — vectorized RE2 extract_regex in an
+    actor-pool stage; SQL twin uses the same RE2 pattern in DuckDB."""
+    from fastdup_ray.stages.enrich import caption_documents
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return caption_documents(docs, max_chars=160).select_columns(
+        ["doc_id", "caption"])
+
+
+SQL_DOC_CAPTIONS = r"""
+SELECT doc_id,
+  regexp_replace(
+    coalesce(regexp_extract(text, '^\s*([^.!?\n]{1,160})', 1), ''),
+    '[\t\r\f ]+$', '') AS caption
+FROM documents
+"""
+
+
+# detector patterns over the synthetic web-text vocabulary; every
+# pattern is alternation/class-only so Python re and DuckDB's RE2 agree
+# on non-overlapping match counts
+_ENTITY_PATTERNS = {
+    "speed": r"(?:fast|slow)",
+    "sql_verb": r"(?:scan|join|merge|sort|filter)",
+    "spark_bigram": r"spark [a-z]+",
+}
+
+
+def q_entity_span_counts(sf_dir: str):
+    """M5 detector analog: regex span detection (patterns compiled once
+    per actor) with shuffle-free per-(doc, label) counting — zero-match
+    rows omitted on both sides."""
+    from fastdup_ray.stages.spans import count_spans
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return count_spans(docs, _ENTITY_PATTERNS, concurrency=4)
+
+
+SQL_ENTITY_SPAN_COUNTS = r"""
+WITH pats(det_label, pat) AS (
+  VALUES ('speed', '(?:fast|slow)'),
+         ('sql_verb', '(?:scan|join|merge|sort|filter)'),
+         ('spark_bigram', 'spark [a-z]+')
+)
+SELECT d.doc_id, p.det_label,
+       len(regexp_extract_all(d.text, p.pat)) AS n_spans
+FROM documents d CROSS JOIN pats p
+WHERE len(regexp_extract_all(d.text, p.pat)) > 0
+"""
+
+
+def q_zero_shot_labels(sf_dir: str):
+    """M8 zero-shot enrichment (rows-only: embedding-model-defined,
+    pytest-oracled on a planted fixture): cosine of each doc's hashed
+    n-gram embedding against label-prototype embeddings built once per
+    actor."""
+    from fastdup_ray.stages.enrich import zero_shot_enrich
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = zero_shot_enrich(
+        docs,
+        labels=["query_engine", "streaming", "customer_data"],
+        prototypes=[
+            "query scan join filter sort merge table key hash agg",
+            "stream window batch line order",
+            "customer value data row part",
+        ],
+        concurrency=4,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "zs_label": batch["zs_label"],
+            "zs_score": pc.round(batch["zs_score"], ndigits=5),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def queries():
     return {
         "dedup_survivors": q_dedup_survivors,
@@ -1993,6 +2076,9 @@ def queries():
         "hierarchical_components": q_hierarchical_components,
         "lang_confusion": q_lang_confusion,
         "bpe_token_counts": q_bpe_token_counts,
+        "doc_captions": q_doc_captions,
+        "entity_span_counts": q_entity_span_counts,
+        "zero_shot_labels": q_zero_shot_labels,
     }
 
 
@@ -2037,5 +2123,8 @@ def oracle_sql():
         "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
         "simhash_near_dup_pairs": SQL_SIMHASH_NEAR_DUP_PAIRS,
         "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
+        "doc_captions": SQL_DOC_CAPTIONS,
+        "entity_span_counts": SQL_ENTITY_SPAN_COUNTS,
         # minhash_components: probabilistic (LSH) -> rows-only by design
+        # zero_shot_labels: embedding-model-defined -> rows-only
     }

@@ -27,6 +27,25 @@ _BUCKETS = 1 << 16
 _FNV_PRIME = np.uint64(0x100000001B3)
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 
+# T4 analog (reference captions.py:8 `device_to_captioner`,
+# fastdup_controller.py:1388-1426): model weights cached per worker
+# process, keyed by config — every stage in the same process (embed,
+# zero-shot, search ingest) shares ONE copy of the 32 MB projection
+# instead of re-deriving it per actor instance.
+_PROJECTION_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def get_projection(dim: int, seed: int) -> np.ndarray:
+    """(buckets, dim) Gaussian projection for (dim, seed), memoized
+    per process."""
+    key = (dim, seed)
+    proj = _PROJECTION_CACHE.get(key)
+    if proj is None:
+        rng = np.random.default_rng(seed)
+        proj = rng.standard_normal((_BUCKETS, dim)).astype(np.float64)
+        _PROJECTION_CACHE[key] = proj
+    return proj
+
 
 class TextEmbedStage:
     """Callable class for `map_batches(TextEmbedStage, concurrency=N,
@@ -42,9 +61,9 @@ class TextEmbedStage:
         self.dim = dim
         self.text_col = text_col
         self.keep_text = keep_text
-        rng = np.random.default_rng(seed)
-        # (buckets, dim) Gaussian projection — the "model weights"
-        self.proj = rng.standard_normal((_BUCKETS, dim)).astype(np.float64)
+        # (buckets, dim) Gaussian projection — the "model weights",
+        # shared per process via the T4 cache
+        self.proj = get_projection(dim, seed)
 
     def _encode(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), np.float64)
