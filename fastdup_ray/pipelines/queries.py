@@ -33,6 +33,8 @@ from fastdup_ray.relational.ops import (
 from fastdup_ray.pipelines.sql_hash import (
     SQL_SIMHASH_FINGERPRINTS,
     SQL_SIMHASH_NEAR_DUP_PAIRS,
+    sql_winnow_dup_pairs,
+    sql_winnow_fingerprints,
 )
 from fastdup_ray.stages.stats import TextStatsStage
 
@@ -2034,6 +2036,41 @@ def q_zero_shot_labels(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+# ------------------------------------------------- winnowing (MOSS)
+# k/w chosen so the guarantee window t = w + k - 1 = 12 bytes and the
+# oracle's byte-level CTEs stay cheap at the sf0.01 gate; max_df drops
+# boilerplate fingerprints (MOSS "too common" rule).
+_WINNOW_K, _WINNOW_W = 5, 8
+_WINNOW_MIN_SHARED, _WINNOW_MAX_DF = 2, 8
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03) per
+    document: rightmost-min of each w-window of rolling k-gram hashes.
+    SQL twin generated from the same constants (sql_hash.winnow_ctes)."""
+    from fastdup_ray.stages.winnow import winnow_fingerprints
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+def q_winnow_dup_pairs(sf_dir: str):
+    """MOSS-style copy detection: pairs ranked by shared winnowing
+    fingerprint values, boilerplate values (df > max_df) dropped."""
+    from fastdup_ray.stages.winnow import (winnow_fingerprints,
+                                           winnow_pair_counts)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+    return winnow_pair_counts(fps, min_shared=_WINNOW_MIN_SHARED,
+                              max_df=_WINNOW_MAX_DF)
+
+
+SQL_WINNOW_FINGERPRINTS = sql_winnow_fingerprints(_WINNOW_K, _WINNOW_W)
+SQL_WINNOW_DUP_PAIRS = sql_winnow_dup_pairs(
+    _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED, _WINNOW_MAX_DF)
+
+
 def queries():
     return {
         "dedup_survivors": q_dedup_survivors,
@@ -2079,6 +2116,8 @@ def queries():
         "doc_captions": q_doc_captions,
         "entity_span_counts": q_entity_span_counts,
         "zero_shot_labels": q_zero_shot_labels,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
     }
 
 
@@ -2125,6 +2164,8 @@ def oracle_sql():
         "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
         "doc_captions": SQL_DOC_CAPTIONS,
         "entity_span_counts": SQL_ENTITY_SPAN_COUNTS,
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
         # minhash_components: probabilistic (LSH) -> rows-only by design
         # zero_shot_labels: embedding-model-defined -> rows-only
     }

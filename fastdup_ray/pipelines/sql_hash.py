@@ -124,6 +124,85 @@ SQL_SIMHASH_FINGERPRINTS = (
 # intra-value cliques at hamming 0 plus canon-to-canon edges for distinct
 # values within hamming <= 3 (pigeonhole-exact, so "shares a quarter" and
 # "hamming <= 3" coincide).
+def winnow_ctes(k: int, w: int, doc_table: str = "documents") -> str:
+    """CTE chain reproducing stages/winnow.py exactly: rolling k-byte
+    polynomial hash (same base), fmix64 finisher, >> 32 to uint32, then
+    rightmost-min winnowing over windows of `w` hashes (docs with fewer
+    than w hashes get one window over all of them), DISTINCT selected
+    positions. Ends with fph(doc_id, p, h). ASCII-only like the simhash
+    twin (chars == utf-8 bytes on the test tables)."""
+    return f"""
+  pw(e, pp) AS (
+    SELECT 0, CAST(1 AS UBIGINT)
+    UNION ALL SELECT e + 1, {_mul('pp', str(_B))} FROM pw WHERE e < {k - 1}
+  ),
+  dd AS (SELECT doc_id, text, length(text) AS n FROM {doc_table}),
+  gpos AS (
+    SELECT doc_id, text, r.i AS p
+    FROM dd, unnest(range(n - {k} + 1)) AS r(i) WHERE n >= {k}
+  ),
+  gbyte AS (
+    SELECT doc_id, p, b.j AS j,
+           CAST(ord(substring(text, CAST(p + b.j AS INTEGER) + 1, 1)) AS UBIGINT) AS byte
+    FROM gpos, unnest(range({k})) AS b(j)
+  ),
+  gpoly AS (
+    SELECT doc_id, p,
+           CAST(SUM(CAST({_mul('byte', 'pp')} AS HUGEINT)) % CAST('{_TWO64}' AS HUGEINT) AS UBIGINT) AS x
+    FROM gbyte JOIN pw ON pw.e = {k} - 1 - j
+    GROUP BY doc_id, p
+  ),
+  wm1 AS (SELECT doc_id, p, {_xs33('x')} AS x FROM gpoly),
+  wm2 AS (SELECT doc_id, p, {_mul('x', str(_M1))} AS x FROM wm1),
+  wm3 AS (SELECT doc_id, p, {_xs33('x')} AS x FROM wm2),
+  wm4 AS (SELECT doc_id, p, {_mul('x', str(_M2))} AS x FROM wm3),
+  gh AS (SELECT doc_id, p, CAST(({_xs33('x')}) >> 32 AS BIGINT) AS h FROM wm4),
+  gm AS (SELECT doc_id, COUNT(*) AS m FROM gh GROUP BY doc_id),
+  wins AS (
+    SELECT doc_id, r.i AS s, LEAST(m, {w}) AS weff
+    FROM gm, unnest(range(GREATEST(m - {w} + 1, 1))) AS r(i)
+  ),
+  wh AS (
+    SELECT wn.doc_id, wn.s, g.p, g.h
+    FROM wins wn JOIN gh g
+      ON g.doc_id = wn.doc_id AND g.p >= wn.s AND g.p < wn.s + wn.weff
+  ),
+  wmin AS (SELECT doc_id, s, MIN(h) AS mh FROM wh GROUP BY doc_id, s),
+  wsel AS (
+    SELECT wh.doc_id, wh.s, MAX(wh.p) AS p
+    FROM wh JOIN wmin
+      ON wh.doc_id = wmin.doc_id AND wh.s = wmin.s AND wh.h = wmin.mh
+    GROUP BY wh.doc_id, wh.s
+  ),
+  fpsel AS (SELECT DISTINCT doc_id, p FROM wsel),
+  fph AS (
+    SELECT f.doc_id, f.p, g.h
+    FROM fpsel f JOIN gh g ON g.doc_id = f.doc_id AND g.p = f.p
+  )"""
+
+
+def sql_winnow_fingerprints(k: int, w: int) -> str:
+    return ("WITH RECURSIVE" + winnow_ctes(k, w)
+            + "\nSELECT doc_id, p AS pos, h AS fp FROM fph")
+
+
+def sql_winnow_dup_pairs(k: int, w: int, min_shared: int, max_df: int) -> str:
+    return ("WITH RECURSIVE" + winnow_ctes(k, w) + f""",
+  docfp AS (SELECT DISTINCT doc_id, h FROM fph),
+  live AS (
+    SELECT h FROM docfp GROUP BY h
+    HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_df}
+  ),
+  pr AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_shared
+    FROM docfp a
+    JOIN docfp b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN live ON live.h = a.h
+    GROUP BY a.doc_id, b.doc_id
+  )
+SELECT src, dst, n_shared FROM pr WHERE n_shared >= {min_shared}""")
+
+
 SQL_SIMHASH_NEAR_DUP_PAIRS = (
     "WITH RECURSIVE" + simhash_fp_ctes() + """,
   vals AS (SELECT simhash, MIN(doc_id) AS canon FROM fp GROUP BY simhash),
