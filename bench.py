@@ -198,6 +198,8 @@ def run_bench() -> dict:
         "customer_revenue_topk", "customers_without_orders", "pricing_summary",
         # round-2 additions, benched so the driver catches regressions
         "outliers", "pagerank", "dedup_survivors",
+        # round-3 additions
+        "winnow_dup_pairs", "entity_span_counts", "doc_captions",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

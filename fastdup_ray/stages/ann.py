@@ -107,9 +107,10 @@ def train_kmeans(ds, n_centroids: int, *, embedding_col: str = "embedding",
                  init_sample_rows: int = 20_000) -> np.ndarray:
     """Distributed full-EM KMeans (reference run_mode=5 parity,
     reference __init__.py:2681-2801): every Lloyd iteration scans the
-    FULL table as one map_batches pass emitting per-batch partial sums
-    (one (k, d) matrix + k counts per batch); only those small partials
-    reach the driver, which updates and re-broadcasts the centroids.
+    FULL table as one map_batches pass emitting per-BLOCK partial sums
+    (one (k, d) matrix + k counts per block), folded by a task-side
+    reduce level so only ~16 partials reach the driver, which updates
+    and re-broadcasts the centroids.
     Driver memory is O(k*d) regardless of corpus size — unlike
     `train_ivf_centroids`, which Lloyd-iterates a driver-side sample and
     exists as the cheap IVF-bootstrap path.
@@ -162,7 +163,39 @@ def train_kmeans(ds, n_centroids: int, *, embedding_col: str = "embedding",
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        def reduce_partials(batch: pa.Table) -> pa.Table:
+            """Fold a batch of (sums, counts) partial rows into one row."""
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "sums": pa.array(
+                            [np.zeros(k * cent.shape[1], np.float64)],
+                            pa.list_(pa.float64()),
+                        ),
+                        "counts": pa.array(
+                            [np.zeros(k, np.int64)], pa.list_(pa.int64())
+                        ),
+                    }
+                )
+            s = np.asarray(batch["sums"].to_pylist(), np.float64).sum(axis=0)
+            c = np.asarray(batch["counts"].to_pylist(), np.int64).sum(axis=0)
+            return pa.table(
+                {
+                    "sums": pa.array([s], pa.list_(pa.float64())),
+                    "counts": pa.array([c], pa.list_(pa.int64())),
+                }
+            )
+
+        # one partial per BLOCK (batch_size=None), then a task-side reduce
+        # level folds them 16-ways before the driver sees anything — the
+        # driver holds O(k*d), not O(#blocks), partials at any corpus size
+        parts = (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .repartition(16)
+            .map_batches(reduce_partials, batch_format="pyarrow",
+                         batch_size=None)
+            .take_all()
+        )
         sums = np.zeros((k, cent.shape[1]), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
         for p in parts:
