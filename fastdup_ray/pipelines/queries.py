@@ -27,6 +27,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from fastdup_ray.config import DedupConfig
 from fastdup_ray.relational.ops import (
     broadcast_semi_join,
+    combine_aggregate,
     hash_join,
     partitioned_groupby,
 )
@@ -189,14 +190,17 @@ GROUP BY event_type
 
 # --------------------------------------------------------------- lang summary
 def q_lang_summary(sf_dir: str):
-    """A8/A9 analog: per-language corpus digest."""
-    agg = (
-        _t(sf_dir, "documents", ["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="total_chars"),
+    """A8/A9 analog: per-language corpus digest (combiner pattern:
+    per-batch partials, task-side tree merge — no shuffle for a
+    languages-sized key domain)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False, sort=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
         )
+
+    agg = combine_aggregate(
+        _t(sf_dir, "documents", ["lang", "n_chars"]), "lang", partial
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -224,10 +228,13 @@ FROM documents GROUP BY lang
 # --------------------------------------------------------------- source top-k
 def q_source_topk(sf_dir: str):
     """O3 analog: top components by size -> top sources by doc count."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("source", "size")
+        )
+
     return (
-        _t(sf_dir, "documents", ["source"])
-        .groupby("source")
-        .aggregate(Count(alias_name="n_docs"))
+        combine_aggregate(_t(sf_dir, "documents", ["source"]), "source", partial)
         .sort(["n_docs", "source"], descending=[True, False])
         .limit(10)
     )
@@ -245,7 +252,13 @@ def q_chars_p90(sf_dir: str):
     scalably via the integer-metric distribution (groupby n_chars + counts
     to the driver; never a full sort)."""
     ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
-    dist = ds.groupby("n_chars").aggregate(Count(alias_name="c")).take_all()
+    dist = combine_aggregate(
+        ds,
+        "n_chars",
+        lambda df: df.groupby("n_chars", as_index=False, sort=False).agg(
+            c=("n_chars", "size")
+        ),
+    ).take_all()
     dist.sort(key=lambda r: r["n_chars"])
     total = sum(r["c"] for r in dist)
     cum = 0
@@ -368,23 +381,44 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
     sizes = partitioned_groupby(sh, "doc_id", size_agg)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        multi = df[df.duplicated("g", keep=False)]
-        srcs, dsts = [], []
-        for _, g in multi.groupby("g", sort=False):
-            ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
-            m = ids.shape[0]
-            if m < 2:
-                continue
-            iu = np.triu_indices(m, k=1)
-            srcs.append(ids[iu[0]])
-            dsts.append(ids[iu[1]])
-        if not srcs:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
+        # vectorized clique pair emission (same segment construction as
+        # lsh.make_emit_partition), with a run-length co-occurrence count
+        # instead of dedup. factorize = exact string grouping, no hashing.
+        empty = pd.DataFrame(
+            {
+                "src": np.empty(0, np.int64),
+                "dst": np.empty(0, np.int64),
+                "pc": np.empty(0, np.int64),
+            }
+        )
+        if not len(df):
+            return empty
+        b = pd.factorize(df["g"], sort=False)[0].astype(np.int64, copy=False)
+        d = df["doc_id"].to_numpy().astype(np.int64, copy=False)
+        order = np.lexsort((d, b))
+        b, d = b[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
+        counts = np.diff(np.append(starts, b.size))
+        pos = np.arange(b.size, dtype=np.int64)
+        seg_m = np.repeat(counts, counts)
+        loc = pos - np.repeat(starts, counts)
+        rep = seg_m - 1 - loc  # doc ids sorted within segment => src < dst
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        src = np.repeat(d, rep)
+        csum = np.cumsum(rep) - rep
+        off = np.arange(total, dtype=np.int64) - np.repeat(csum, rep)
+        dst = d[np.repeat(pos + 1, rep) + off]
         # partial pre-aggregation: count pair co-occurrences within this
         # partition before the global (src,dst) exchange
-        df2 = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
-        g = df2.groupby(["src", "dst"], as_index=False, sort=False).size()
-        return g.rename(columns={"size": "pc"})
+        ko = np.lexsort((dst, src))
+        src, dst = src[ko], dst[ko]
+        new = np.ones(src.size, dtype=bool)
+        new[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        idx = np.flatnonzero(new)
+        pc = np.diff(np.append(idx, src.size)).astype(np.int64)
+        return pd.DataFrame({"src": src[idx], "dst": dst[idx], "pc": pc})
 
     partial_counts = partitioned_groupby(sh, "g", emit)
 
@@ -670,14 +704,10 @@ def q_windowed_events(sf_dir: str):
         )
         return g
 
-    agg = (
-        _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events_s"),
-            Sum("sum_value", alias_name="sum_value_s"),
-        )
+    agg = combine_aggregate(
+        _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"]),
+        ["event_type", "window_start"],
+        partial,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -686,12 +716,12 @@ def q_windowed_events(sf_dir: str):
                 "event_type": batch["event_type"],
                 "window_start": batch["window_start"],
                 "n_events": pa.array(
-                    batch["n_events_s"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch["n_events"].to_numpy(zero_copy_only=False).astype(np.int64),
                     pa.int64(),
                 ),
                 # per-row scaled-int then exact int sum (see pricing_summary)
                 "total_value_e4": pa.array(
-                    batch["sum_value_s"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch["sum_value"].to_numpy(zero_copy_only=False).astype(np.int64),
                     pa.int64(),
                 ),
             }
@@ -767,11 +797,20 @@ def q_customer_revenue_topk(sf_dir: str):
             {"o_custkey": batch["o_custkey"], "cents": pa.array(cents, pa.int64())}
         )
 
-    rev = (
-        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(to_cents, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("cents", alias_name="revenue_raw"), Count(alias_name="n_orders"))
+    # combiner: key domain is the customer table (the small join side by
+    # construction), so merged partials stay customer-sized; a key domain
+    # proportional to the fact table would use partitioned_groupby instead
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False, sort=False).agg(
+            revenue_raw=("cents", "sum"), n_orders=("cents", "size")
+        )
+
+    rev = combine_aggregate(
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            to_cents, batch_format="pyarrow"
+        ),
+        "o_custkey",
+        partial,
     ).materialize()
     joined = hash_join(
         rev, _t(sf_dir, "customer", ["c_custkey", "c_name"]),
@@ -855,27 +894,21 @@ def q_pricing_summary(sf_dir: str):
         )
         return g
 
-    agg = (
+    agg = combine_aggregate(
         _t(
             sf_dir, "lineitem",
             ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
              "l_linestatus", "l_shipdate"],
-        )
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="q"),
-            Sum("sum_base_price", alias_name="bp"),
-            Sum("sum_disc_price", alias_name="dp"),
-            Sum("count_order", alias_name="n"),
-        )
+        ),
+        ["l_returnflag", "l_linestatus"],
+        partial,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        q = batch["q"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bp = batch["bp"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dp = batch["dp"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["sum_qty"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bp = batch["sum_base_price"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dp = batch["sum_disc_price"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
@@ -996,7 +1029,13 @@ def q_outliers(sf_dir: str):
 
     # exact quantile of the best-distance distribution (chars_p90 pattern:
     # distinct-value counts to the driver, never a full sort)
-    dist = best.groupby("distance").aggregate(Count(alias_name="c")).take_all()
+    dist = combine_aggregate(
+        best,
+        "distance",
+        lambda df: df.groupby("distance", as_index=False, sort=False).agg(
+            c=("distance", "size")
+        ),
+    ).take_all()
     low_rows = rd.from_arrow(
         pa.table({k: pa.array([], t) for k, t in out_schema.items()})
     )

@@ -45,11 +45,24 @@ def actor_pool_size(requested: int) -> int:
 
 
 def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
-              num_partitions: int = 32):
-    """`Dataset.join` with a deadlock-safe partition count and a
-    sparse-left fallback.
+              num_partitions: int = 32,
+              broadcast_bytes: int = 128 << 20, broadcast_rows: int = 4_000_000):
+    """`Dataset.join` with a broadcast small-side path, a deadlock-safe
+    partition count and a sparse-left fallback.
 
-    NOTES (ray 2.49):
+    Broadcast path (inner joins): when the build (right) side fits a
+    per-worker budget, it's concatenated ONCE in a task, `ray.put`-style
+    broadcast via its ObjectRef, and every left block does a zero-copy
+    Arrow (acero) join against it in `map_batches` — no shuffle, no
+    per-partition aggregator actors. This is both the 100-TB-correct
+    plan for small-side joins (ship the lookup once per node, stream
+    the big side) AND the low-latency plan here: ray 2.49's hash-shuffle
+    join spins one aggregator actor per partition with a measured
+    ~3-12 s fixed overhead regardless of data size. Output column
+    semantics match `Dataset.join`: left key kept, right key dropped
+    (verified empirically; pa.Table.join coalesces keys the same way).
+
+    NOTES (ray 2.49), for the shuffle path:
     - chaining a second lazy join on a join output trips acero field
       resolution; materialize between chained joins;
     - a shuffle partition that receives ZERO left rows makes the join's
@@ -62,6 +75,13 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
     lk = on if isinstance(on, str) else on[0]
     rk = (right_on if isinstance(right_on, str) else right_on[0]) if right_on else lk
     nparts = num_join_partitions(num_partitions)
+
+    if join_type == "inner":
+        right = right.materialize()
+        n_right = right.count()
+        r_bytes = right.size_bytes() or 0
+        if 0 < n_right <= broadcast_rows and r_bytes <= broadcast_bytes:
+            return _broadcast_inner_join(left, right, lk=lk, rk=rk)
 
     left = left.materialize()
     n_left = left.count()
@@ -93,6 +113,102 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
         if right_on is not None
         else None,
     )
+
+
+def _broadcast_inner_join(left, right, *, lk: str, rk: str):
+    """Inner join with the (small, materialized) right side broadcast.
+
+    The right blocks are concatenated once in a remote task; the
+    resulting ObjectRef is read zero-copy from the local object store
+    by every map task (one plasma get per task, shared-memory on the
+    same node — the `ray.put` once / read-everywhere broadcast pattern).
+    The per-batch join is pyarrow's acero hash join (C++), with the
+    right key coalesced into the left key exactly like `Dataset.join`.
+    """
+    import ray as _ray
+
+    @_ray.remote
+    def _concat(*tables) -> pa.Table:
+        return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+    rrefs = right.to_arrow_refs()
+    rt_ref = _concat.remote(*rrefs)
+    rschema = right.schema()
+    r_payload = [
+        (c, t) for c, t in zip(rschema.names, rschema.types) if c != rk
+    ]
+
+    def bjoin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            cols = {c: batch[c] for c in batch.column_names}
+            cols.update({c: pa.array([], t) for c, t in r_payload})
+            return pa.table(cols)
+        rt = _ray.get(rt_ref)
+        if rk == lk:
+            return batch.join(rt, keys=[lk], join_type="inner")
+        return batch.join(rt, keys=[lk], right_keys=[rk], join_type="inner")
+
+    return left.map_batches(bjoin, batch_format="pyarrow")
+
+
+def combine_aggregate(ds, keys, partial_fn, merge_fn=None, *, fan: int = 8):
+    """Map-side partial aggregation + task-side tree-reduce final merge.
+
+    The combiner pattern for LOW-cardinality keys (SURVEY §2.6 A8/A9
+    digests, TPC-H-style rollups): `partial_fn` (pandas DataFrame ->
+    pandas DataFrame) reduces each batch to one row per key it saw;
+    the partial tables are then tree-merged in plain Ray tasks with
+    `merge_fn` (default: groupby(keys).sum() — correct for sums and
+    counts-as-sums; pass an explicit merge for min/max/custom). The
+    driver only ever holds ObjectRefs, and no data is shuffled at all —
+    the reduction volume is (distinct keys x partial blocks), not rows.
+
+    Exists because ray 2.49's `groupby().aggregate()` runs a
+    hash-shuffle with one aggregator actor per partition: measured
+    ~2-6 s FIXED overhead per op (actor startup + handshake) even on a
+    100-row result, and the per-group Python finalize path on top
+    (see partitioned_groupby). For high-cardinality keys (distinct keys
+    ~ rows) use partitioned_groupby instead — a single merged table of
+    partials would no longer be small.
+    """
+    import ray as _ray
+    import ray.data as rd
+
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+
+    if merge_fn is None:
+        def merge_fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(keys_l, as_index=False, sort=False).sum()
+
+    def _partial(df: pd.DataFrame):
+        return pa.Table.from_pandas(
+            partial_fn(df), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").materialize()
+    refs = []
+    for bundle in parts.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return parts  # schema-bearing empty (partial_fn shaped the schema)
+
+    @_ray.remote
+    def _merge(*tables) -> pa.Table:
+        tabs = [t for t in tables if t.num_rows > 0]
+        df = pa.concat_tables(tabs, promote_options="default").to_pandas()
+        return pa.Table.from_pandas(
+            merge_fn(df), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    # a single partial block needs no merge: partial_fn groups within
+    # its batch, so one block is already key-unique
+    while len(refs) > 1:
+        refs = [
+            _merge.remote(*refs[i : i + fan]) for i in range(0, len(refs), fan)
+        ]
+    return rd.from_arrow_refs(refs)
 
 
 def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,

@@ -345,3 +345,92 @@ def test_hierarchy_medoid_exemplar_recovers_cluster(ray_session):
     assert m[1] == m[2], f"medoid exemplars must merge the theme: {m}"
     c = clusters("canonical")
     assert c[1] != c[2], f"canonical (min-id) exemplar must miss it: {c}"
+
+
+def test_combine_aggregate_matches_pandas(ray_session):
+    """Map-side combiner + tree-reduce == plain pandas groupby, across
+    many blocks so the merge tree actually runs."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import combine_aggregate
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, size=5000),
+            "v": rng.integers(-100, 100, size=5000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(23)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("k", as_index=False, sort=False).agg(
+            s=("v", "sum"), n=("v", "size")
+        )
+
+    got = (
+        combine_aggregate(ds, "k", partial)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_combine_aggregate_custom_merge_minmax(ray_session):
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import combine_aggregate
+
+    df = pd.DataFrame({"k": [0, 0, 1, 1, 1], "v": [5, -3, 10, 2, 7]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    def partial(b):
+        return b.groupby("k", as_index=False, sort=False).agg(
+            mn=("v", "min"), mx=("v", "max")
+        )
+
+    def merge(b):
+        return b.groupby("k", as_index=False, sort=False).agg(
+            mn=("mn", "min"), mx=("mx", "max")
+        )
+
+    got = combine_aggregate(ds, "k", partial, merge).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["mn"].tolist() == [-3, 2]
+    assert got["mx"].tolist() == [5, 10]
+
+
+def test_hash_join_broadcast_matches_shuffle(ray_session):
+    """The broadcast small-side path must return exactly what the
+    shuffle path returns (left key kept, right key dropped)."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, size=2000), "lv": np.arange(2000)}
+    )
+    right = pd.DataFrame({"rk": np.arange(0, 40), "name": [f"n{i}" for i in range(40)]})
+    lds = rd.from_pandas(left).repartition(7)
+    rds = rd.from_pandas(right)
+
+    bc = hash_join(lds, rds, on="k", right_on="rk").to_pandas()
+    sh = hash_join(
+        lds, rds, on="k", right_on="rk", broadcast_rows=0
+    ).to_pandas()
+    key = ["k", "lv", "name"]
+    assert sorted(bc.columns) == sorted(sh.columns) == sorted(key)
+    bc = bc[key].sort_values(key).reset_index(drop=True)
+    sh = sh[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, sh)
+    # oracle: pandas inner merge
+    want = left.merge(right, left_on="k", right_on="rk").drop(columns="rk")
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, want, check_dtype=False)
