@@ -562,6 +562,42 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.9):
+    """Embedding near-dup, sublinear scale path: signed-random-projection
+    LSH candidates + exact cosine rescore. Precision is 1.0 vs the exact
+    baseline by construction (every candidate is rescored from the real
+    vectors), so the SQL twin is exact whenever recall is 1 — and on
+    these fixtures (max pairwise cosine ~0.51, no pairs at 0.9) it
+    verifies the no-false-positives half with an empty expected set.
+    The recall half is pytest-gated on planted near-dup vectors
+    (tests/test_round3.py::test_srp_lsh_recall_vs_exact, >= 0.95 at
+    cos 0.9 with 16 bands x 8 bits)."""
+    from fastdup_ray.stages.ann import srp_lsh_dup_pairs
+
+    out = srp_lsh_dup_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=threshold
+    )
+    # collect into a TYPED table: an empty Dataset loses its schema
+    # through to_pandas (customers_without_orders pattern) and the
+    # fixtures legitimately have zero pairs at cos >= 0.9
+    rows = sorted(
+        (r["src"], r["dst"], r["distance"]) for r in out.take_all()
+    )
+    return pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+        "distance": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_EMBEDDING_LSH_PAIRS = """
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS distance
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+"""
+
+
 def q_doc_embeddings(sf_dir: str, dim: int = 32):
     """M9 embedding-encoder analog (rows-only: hash-projection defined):
     encode every document's text into a dim-wide embedding via the
@@ -2135,6 +2171,7 @@ def queries():
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "substring_dup_pairs": q_substring_dup_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "doc_embeddings": q_doc_embeddings,
         "dup_size_histogram": q_dup_size_histogram,
         "recent_events": q_recent_events,
@@ -2177,6 +2214,7 @@ def oracle_sql():
         "token_totals": SQL_TOKEN_TOTALS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+        "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
         "dup_size_histogram": SQL_DUP_SIZE_HISTOGRAM,
         "recent_events": SQL_RECENT_EVENTS,
         "ann_topk": SQL_ANN_TOPK,

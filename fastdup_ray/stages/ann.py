@@ -446,3 +446,144 @@ def cosine_dup_pairs(ds, *, threshold: float = 0.4,
     # cross-block ids can repeat only if vec_id repeats in the input;
     # with unique ids every (src,dst) appears exactly once
     return rd.from_arrow_refs(out_refs)
+
+
+_SRP_PLANES: dict = {}
+
+
+def _srp_planes(d: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic (d, n_bits) Gaussian hyperplane matrix, cached per
+    process — the broadcast-small-state pattern at kilobyte scale (the
+    planes are d*n_bits*8 bytes, regenerated from the seed everywhere
+    rather than shipped)."""
+    key = (d, n_bits, seed)
+    if key not in _SRP_PLANES:
+        _SRP_PLANES[key] = np.random.default_rng(seed).standard_normal((d, n_bits))
+    return _SRP_PLANES[key]
+
+
+def srp_lsh_dup_pairs(ds, *, threshold: float = 0.9, n_bands: int = 16,
+                      band_bits: int = 8, seed: int = 0x5EED,
+                      embedding_col: str = "embedding",
+                      vec_id_col: str = "vec_id",
+                      config=None):
+    """Sub-quadratic embedding-cosine near-dup pairs: signed-random-
+    projection LSH (Charikar STOC'02 — the cosine analog of SimHash)
+    banded MinHash-style, then an EXACT cosine rescore of every
+    candidate pair.
+
+    Precision is 1.0 by construction (every emitted pair is rescored
+    from the real vectors); recall is the banded collision probability
+    1-(1-p^b)^r with p = 1 - theta/pi — at cos=0.9 with 16 bands x 8
+    bits that is ~0.996, pytest-gated against the exact blocked
+    all-pairs baseline (`cosine_dup_pairs`). This is the linear-shuffle
+    scale path of the embedding dedup family: band rows are
+    (bucket, vec_id) exactly like the MinHash path, so pair emission
+    reuses the vectorized LSH clique emitter, and the rescore ships
+    vectors as fixed-width binary through the join (the same transport
+    the verify stage uses for shingle sets).
+    """
+    from fastdup_ray.config import DedupConfig
+    from fastdup_ray.relational.ops import hash_join
+    from fastdup_ray.stages.lsh import candidate_pairs
+
+    cfg = config or DedupConfig()
+    n_bits = n_bands * band_bits
+    if band_bits > 32:
+        raise ValueError("band_bits must be <= 32 (bucket packing)")
+
+    # two outputs from one pass would force a wide row; emit band rows
+    # and the vector side table as separate narrow projections instead
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch, embedding_col)
+        n = ids.shape[0]
+        if n == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            })
+        mn = _normalize(m)
+        planes = _srp_planes(mn.shape[1], n_bits, seed)
+        bits = (mn @ planes) >= 0.0
+        weights = (1 << np.arange(band_bits, dtype=np.int64))[None, :]
+        buckets = np.empty((n, n_bands), np.int64)
+        for band in range(n_bands):
+            chunk = bits[:, band * band_bits : (band + 1) * band_bits]
+            buckets[:, band] = (chunk * weights).sum(axis=1) | (band << 40)
+        return pa.table({
+            "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids.astype(np.int64), n_bands)),
+        })
+
+    def vec_rows(batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch, embedding_col)
+        if ids.shape[0] == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "vb": pa.array([], pa.large_binary()),
+            })
+        # float64 transport: distances must be bit-identical to the exact
+        # all-pairs baseline (the float32 saving shifts the 6th decimal)
+        mn = np.ascontiguousarray(_normalize(m), dtype=np.float64)
+        # equal-width values: one contiguous buffer + arithmetic offsets,
+        # no per-row Python bytes objects
+        width = mn.shape[1] * 8
+        vb = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            mn.shape[0],
+            [
+                None,
+                pa.py_buffer(
+                    np.arange(0, (mn.shape[0] + 1) * width, width, dtype=np.int64)
+                ),
+                pa.py_buffer(mn.tobytes()),
+            ],
+        )
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "vb": vb,
+        })
+
+    pairs = candidate_pairs(
+        ds.map_batches(band_rows, batch_format="pyarrow"), cfg
+    ).materialize()
+    empty = pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "distance": pa.array([], pa.float64()),
+    })
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    vecs = ds.map_batches(vec_rows, batch_format="pyarrow").materialize()
+    j1 = hash_join(
+        pairs, vecs.rename_columns({"vec_id": "k1", "vb": "vb_src"}),
+        on="src", right_on="k1",
+    ).materialize()
+    j2 = hash_join(
+        j1, vecs.rename_columns({"vec_id": "k2", "vb": "vb_dst"}),
+        on="dst", right_on="k2",
+    )
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0 or "vb_src" not in batch.column_names:
+            return empty
+        a = np.frombuffer(
+            b"".join(batch["vb_src"].to_pylist()), np.float64
+        ).reshape(n, -1)
+        b = np.frombuffer(
+            b"".join(batch["vb_dst"].to_pylist()), np.float64
+        ).reshape(n, -1)
+        cos = np.einsum("ij,ij->i", a, b)
+        keep = cos >= threshold
+        m = pa.array(keep)
+        return pa.table({
+            "src": batch["src"].filter(m),
+            "dst": batch["dst"].filter(m),
+            "distance": pa.array(np.round(cos[keep], 6), pa.float64()),
+        })
+
+    return j2.map_batches(rescore, batch_format="pyarrow")

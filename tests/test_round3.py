@@ -434,3 +434,46 @@ def test_hash_join_broadcast_matches_shuffle(ray_session):
     want = left.merge(right, left_on="k", right_on="rk").drop(columns="rk")
     want = want[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, want, check_dtype=False)
+
+
+def test_srp_lsh_recall_vs_exact(ray_session):
+    """SRP-LSH + exact rescore vs the blocked all-pairs baseline:
+    precision must be 1.0 with identical distances (every candidate is
+    rescored from the real vectors); recall >= 0.95 at cos >= 0.9."""
+    import pandas as pd
+
+    from fastdup_ray.stages.ann import cosine_dup_pairs, srp_lsh_dup_pairs
+
+    rng = np.random.default_rng(3)
+    d = 64
+    base = rng.standard_normal((40, d))
+    rows = []
+    vid = 0
+    for c in range(40):
+        # a planted cluster: 3 near-identical variants of each base vector
+        for _ in range(3):
+            v = base[c] + rng.standard_normal(d) * 0.08
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist()})
+            vid += 1
+    # background noise vectors (pairwise near-orthogonal w.h.p.)
+    for _ in range(200):
+        rows.append({
+            "vec_id": vid,
+            "embedding": rng.standard_normal(d).astype(np.float32).tolist(),
+        })
+        vid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8).materialize()
+
+    exact = cosine_dup_pairs(ds, threshold=0.9).to_pandas()
+    lsh = srp_lsh_dup_pairs(ds, threshold=0.9).to_pandas()
+
+    ek = set(zip(exact["src"], exact["dst"]))
+    lk = set(zip(lsh["src"], lsh["dst"]))
+    assert len(ek) >= 40  # the fixture actually planted near-dups
+    assert lk <= ek  # precision 1.0: every LSH pair is a true pair
+    recall = len(lk & ek) / len(ek)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(ek)} true pairs"
+    # distances are the SAME exact cosine on both paths
+    em = {(s, t): x for s, t, x in zip(exact["src"], exact["dst"], exact["distance"])}
+    for s, t, x in zip(lsh["src"], lsh["dst"], lsh["distance"]):
+        assert abs(em[(s, t)] - x) < 1e-9
