@@ -137,7 +137,8 @@ def q_dup_size_histogram(sf_dir: str):
         g = df.groupby("sz", as_index=False, sort=False).size()
         return g.rename(columns={"sz": "size", "size": "n_components"})
 
-    out = partitioned_groupby(sized, "sz", hist, num_parts=8)
+    # histogram keys are cluster SIZES (tiny domain): combiner, no shuffle
+    out = combine_aggregate(sized, "size", hist)
     from fastdup_ray.relational.ops import with_schema
 
     # tiny result: canonicalize so an all-empty outcome still has the
@@ -902,6 +903,46 @@ def q_customers_without_orders(sf_dir: str):
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------- as-of join
+def q_last_order_before_event(sf_dir: str):
+    """As-of join (time-series custom operator the Dataset API lacks):
+    for every event, the user's most recent order at-or-before the event
+    timestamp. Hash-cogroup by user + one vectorized merge_asof per
+    partition; ties on order date break to the max order key."""
+    from fastdup_ray.relational.ops import asof_join
+
+    j = asof_join(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        on="ts", right_on="o_orderdate",
+        by="user_id", right_by="o_custkey",
+        tiebreak=["o_orderkey"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "last_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LAST_ORDER_BEFORE_EVENT = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, o_orderkey AS last_orderkey FROM j WHERE rn = 1
 """
 
 
@@ -2180,6 +2221,7 @@ def queries():
         "ann_topk": q_ann_topk,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
+        "last_order_before_event": q_last_order_before_event,
         "customer_revenue_topk": q_customer_revenue_topk,
         "customers_without_orders": q_customers_without_orders,
         "pricing_summary": q_pricing_summary,
@@ -2220,6 +2262,7 @@ def oracle_sql():
         "ann_topk": SQL_ANN_TOPK,
         "windowed_events": SQL_WINDOWED_EVENTS,
         "sessionize": SQL_SESSIONIZE,
+        "last_order_before_event": SQL_LAST_ORDER_BEFORE_EVENT,
         "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "pricing_summary": SQL_PRICING_SUMMARY,

@@ -505,3 +505,85 @@ def cogroup_join(left, right, *, on: str, right_on: str, num_parts: int = 64):
     return partitioned_groupby(
         both, "__key", merge, num_parts=num_parts, batch_format="pyarrow"
     )
+
+
+def asof_join(left, right, *, on: str, right_on: str, by: str, right_by: str,
+              tiebreak: list | None = None, num_parts: int = 64,
+              keep_unmatched: bool = False):
+    """Distributed backward as-of join: for each left row, the single
+    right row with the greatest `right_on` <= left `on` within the same
+    `by`/`right_by` key — the time-series join the Dataset API lacks
+    (M19-adjacent; the "latest state as of event time" primitive).
+
+    Both sides are hash-partitioned by the key (the cogroup_join
+    pattern: union + typed-null schema normalization + one vectorized
+    fold per partition), so a partition holds every row of its keys and
+    a single `pandas.merge_asof` resolves it exactly — no driver
+    materialization, no all-pairs inequality join. `tiebreak` columns
+    make equal-`right_on` matches deterministic (the max tiebreak tuple
+    wins; merge_asof takes the LAST right row in sort order).
+    The right key column is dropped from the output; unmatched left
+    rows are dropped unless keep_unmatched (left-join semantics with
+    nulls in the right payload).
+    """
+    import numpy as np
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = dict(zip(lschema.names, lschema.types))
+    rcols = dict(zip(rschema.names, rschema.types))
+    payload_r = {k: v for k, v in rcols.items() if k != right_by}
+    overlap = set(lcols) & set(payload_r)
+    if overlap:
+        raise ValueError(f"column collision in asof_join: {overlap}")
+    all_cols = {"__key": lcols.get(by, rcols.get(right_by))}
+    all_cols.update({k: v for k, v in lcols.items() if k != by} | payload_r)
+    tiebreak = list(tiebreak or [])
+
+    def norm(key_col, keep_cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = {"__key": batch[key_col].cast(all_cols["__key"])}
+            for k, t in all_cols.items():
+                if k == "__key":
+                    continue
+                out[k] = (
+                    batch[k].cast(t) if k in keep_cols and k in batch.column_names
+                    else pa.nulls(n, t)
+                )
+            out["__side"] = pa.array(
+                np.full(n, 0 if key_col == by else 1, np.int8)
+            )
+            return pa.table(out)
+
+        return fn
+
+    both = left.map_batches(norm(by, set(lcols)), batch_format="pyarrow").union(
+        right.map_batches(norm(right_by, set(rcols)), batch_format="pyarrow")
+    )
+
+    l_payload = [k for k in lcols if k != by]
+    r_payload = list(payload_r)
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(t["__side"], 0)
+        lp = t.filter(lmask).select(["__key"] + l_payload).to_pandas()
+        rp = t.filter(pc.invert(lmask)).select(["__key"] + r_payload).to_pandas()
+        lp = lp.sort_values(on, kind="mergesort")
+        rp = rp.sort_values([right_on] + tiebreak, kind="mergesort")
+        out = pd.merge_asof(
+            lp, rp, left_on=on, right_on=right_on, by="__key",
+            direction="backward",
+        )
+        if not keep_unmatched:
+            out = out[out[right_on].notna()]
+        out = out.rename(columns={"__key": by})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return partitioned_groupby(
+        both, "__key", fold, num_parts=num_parts, batch_format="pyarrow"
+    )

@@ -477,3 +477,48 @@ def test_srp_lsh_recall_vs_exact(ray_session):
     em = {(s, t): x for s, t, x in zip(exact["src"], exact["dst"], exact["distance"])}
     for s, t, x in zip(lsh["src"], lsh["dst"], lsh["distance"]):
         assert abs(em[(s, t)] - x) < 1e-9
+
+
+def test_asof_join_matches_pandas_oracle(ray_session):
+    """Distributed as-of join == a single global merge_asof, including
+    deterministic tie-breaks on equal right timestamps."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import asof_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 3000, 2000
+    left = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 40, n_l),
+        "t": rng.integers(0, 10_000, n_l).astype("datetime64[s]"),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 45, n_r),  # some keys only on one side
+        "rt": rng.integers(0, 10_000, n_r).astype("datetime64[s]"),
+        "rid": np.arange(n_r),
+        "payload": rng.standard_normal(n_r),
+    })
+    # force right-timestamp ties within a key so the tiebreak matters
+    right.loc[:200, "rt"] = right.loc[0, "rt"]
+    right.loc[:200, "rk"] = right.loc[0, "rk"]
+
+    got = asof_join(
+        rd.from_pandas(left).repartition(9),
+        rd.from_pandas(right).repartition(7),
+        on="t", right_on="rt", by="k", right_by="rk", tiebreak=["rid"],
+        num_parts=16,
+    ).to_pandas()
+
+    ls = left.sort_values("t", kind="mergesort")
+    rs = right.sort_values(["rt", "rid"], kind="mergesort").rename(
+        columns={"rk": "k"}
+    )
+    want = pd.merge_asof(ls, rs, left_on="t", right_on="rt", by="k",
+                         direction="backward")
+    want = want[want["rt"].notna()]
+
+    key = ["lid", "k", "rid"]
+    got = got[key].astype(np.int64).sort_values(key).reset_index(drop=True)
+    want = want[key].astype(np.int64).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
