@@ -108,6 +108,51 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component_id FROM documen
 """
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/test split (M16 analog upgraded for training
+    data): the split unit is the duplicate COMPONENT (shared-64-char-
+    prefix clusters here), so no near-dup pair straddles train/test.
+    Grouping is by the actual prefix string (partition hash only routes;
+    the per-partition groupby compares real values — exact)."""
+    from fastdup_ray.stages.splits import leakage_safe_split
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        # python slicing = code POINTS, the same unit as SQL substr
+        # (dup_size_histogram precedent)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pfx": pa.array(
+                    [t[:64] for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["component_id"] = df.groupby("pfx")["doc_id"].transform("min")
+        return df[["doc_id", "component_id"]]
+
+    comp = partitioned_groupby(ds, "pfx", assign)
+    return leakage_safe_split(comp)
+
+
+SQL_LEAKAGE_SAFE_SPLIT = """
+WITH comp AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS component_id
+  FROM documents
+)
+SELECT doc_id, component_id,
+       CASE WHEN component_id % 10 < 2 THEN 'test' ELSE 'train' END AS split
+FROM comp
+"""
+
+
 def q_dup_size_histogram(sf_dir: str):
     """A3 analog (component size counts): distribution of duplicate-
     cluster sizes — (size, n_components), size >= 2 — over shared-prefix
@@ -2215,6 +2260,7 @@ def queries():
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "doc_embeddings": q_doc_embeddings,
         "dup_size_histogram": q_dup_size_histogram,
+        "leakage_safe_split": q_leakage_safe_split,
         "recent_events": q_recent_events,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
@@ -2258,6 +2304,7 @@ def oracle_sql():
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
         "dup_size_histogram": SQL_DUP_SIZE_HISTOGRAM,
+        "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
         "recent_events": SQL_RECENT_EVENTS,
         "ann_topk": SQL_ANN_TOPK,
         "windowed_events": SQL_WINDOWED_EVENTS,

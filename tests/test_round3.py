@@ -522,3 +522,81 @@ def test_asof_join_matches_pandas_oracle(ray_session):
     got = got[key].astype(np.int64).sort_values(key).reset_index(drop=True)
     want = want[key].astype(np.int64).sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bloom_anti_join_matches_exact(ray_session):
+    """Bloom-prefiltered anti-join == plain cogroup anti-join (the sketch
+    changes shuffle volume, never the answer), and the prefilter
+    actually routes most non-matching rows around the shuffle."""
+    import pandas as pd
+
+    import ray as _ray
+
+    from fastdup_ray.relational.ops import (
+        bloom_cogroup_anti_join,
+        build_bloom,
+        cogroup_anti_join,
+    )
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 100_000, 5000),
+        "v": np.arange(5000),
+    })
+    right = pd.DataFrame({"rk": rng.integers(0, 100_000, 800)})
+    lds = rd.from_pandas(left).repartition(9)
+    rds = rd.from_pandas(right).repartition(5)
+
+    got = bloom_cogroup_anti_join(lds, rds, on="k", right_on="rk",
+                                  num_parts=16).to_pandas()
+    want = cogroup_anti_join(lds, rds, on="k", right_on="rk",
+                             num_parts=16).to_pandas()
+    key = ["k", "v"]
+    # the bloom path restores exact int64 via with_schema; the plain path
+    # degrades to float64 through NaN padding — compare values
+    got = got[key].astype(np.int64).sort_values(key).reset_index(drop=True)
+    want = want[key].astype(np.int64).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # pandas truth
+    truth = left[~left["k"].isin(set(right["rk"]))]
+    assert len(got) == len(truth)
+
+    # the Bloom itself: zero false negatives, few false positives
+    bloom_ref, test_fn = build_bloom(rds, "rk")
+    bm = _ray.get(bloom_ref)
+    keys = left["k"].to_numpy()
+    hit = test_fn(keys, bm)
+    true_hit = left["k"].isin(set(right["rk"])).to_numpy()
+    assert (hit | ~true_hit).all()  # no false negatives
+    fp = (hit & ~true_hit).mean()
+    assert fp < 0.05, f"false-positive rate {fp:.3f}"
+
+
+def test_leakage_safe_split_invariants(ray_session):
+    """No component straddles train/test; expected test fraction ~=
+    test_mod/mod for uniform-hash component ids."""
+    import pandas as pd
+
+    from fastdup_ray.stages.splits import leakage_safe_split
+
+    rng = np.random.default_rng(17)
+    # component ids that look like doc ids: uniform 63-bit hashes
+    comp_ids = rng.integers(0, 2**63 - 1, 500)
+    rows = []
+    did = 0
+    for c in comp_ids:
+        for _ in range(int(rng.integers(1, 5))):
+            rows.append({"doc_id": did, "component_id": int(c)})
+            did += 1
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(7)
+
+    out = leakage_safe_split(ds).to_pandas()
+    assert set(out["split"].unique()) <= {"train", "test"}
+    # every component entirely on one side
+    sides = out.groupby("component_id")["split"].nunique()
+    assert (sides == 1).all()
+    # expected fraction 0.2 of COMPONENTS, tolerance for 500 draws
+    frac = (
+        out.drop_duplicates("component_id")["split"].eq("test").mean()
+    )
+    assert 0.1 < frac < 0.3, frac
