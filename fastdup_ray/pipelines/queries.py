@@ -951,6 +951,71 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+# ------------------------------------------------------- repetition signals
+def q_word_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
+    filters; the M6-stats family): per doc, word totals, distinct words,
+    duplicate-word fraction and most-common-word fraction. Vectorized:
+    one factorize over the batch's word stream + bincount/segment
+    reductions — no per-doc Python counting."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words: list[str] = []
+        doc_idx: list[int] = []
+        for i, t in enumerate(texts):
+            ws = [w for w in t.split(" ") if w]
+            words.extend(ws)
+            doc_idx.append(len(ws))
+        n = len(texts)
+        di = np.repeat(np.arange(n, dtype=np.int64), doc_idx)
+        total = np.asarray(doc_idx, dtype=np.int64)
+        if words:
+            codes = pd.factorize(np.asarray(words, dtype=object))[0].astype(np.int64)
+            key = (di << 32) | codes
+            uk, cnt = np.unique(key, return_counts=True)
+            d = (uk >> np.int64(32)).astype(np.int64)
+            distinct = np.bincount(d, minlength=n).astype(np.int64)
+            maxc = np.zeros(n, np.int64)
+            np.maximum.at(maxc, d, cnt)
+        else:
+            distinct = np.zeros(n, np.int64)
+            maxc = np.zeros(n, np.int64)
+        keep = total > 0
+        tot = total[keep].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_words": pa.array(total[keep], pa.int64()),
+                "n_distinct_words": pa.array(distinct[keep], pa.int64()),
+                "dup_word_frac": pa.array(
+                    np.round(1.0 - distinct[keep] / tot, 6), pa.float64()
+                ),
+                "top_word_frac": pa.array(
+                    np.round(maxc[keep] / tot, 6), pa.float64()
+                ),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow"
+    )
+
+
+SQL_WORD_REPETITION_STATS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w != '' GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS total, count(*) AS distincts, max(c) AS maxc
+        FROM wf GROUP BY 1)
+SELECT doc_id, CAST(total AS BIGINT) AS n_words,
+       CAST(distincts AS BIGINT) AS n_distinct_words,
+       ROUND(1 - distincts::DOUBLE / total, 6) AS dup_word_frac,
+       ROUND(maxc::DOUBLE / total, 6) AS top_word_frac
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------- as-of join
 def q_last_order_before_event(sf_dir: str):
     """As-of join (time-series custom operator the Dataset API lacks):
@@ -2268,6 +2333,7 @@ def queries():
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "last_order_before_event": q_last_order_before_event,
+        "word_repetition_stats": q_word_repetition_stats,
         "customer_revenue_topk": q_customer_revenue_topk,
         "customers_without_orders": q_customers_without_orders,
         "pricing_summary": q_pricing_summary,
@@ -2310,6 +2376,7 @@ def oracle_sql():
         "windowed_events": SQL_WINDOWED_EVENTS,
         "sessionize": SQL_SESSIONIZE,
         "last_order_before_event": SQL_LAST_ORDER_BEFORE_EVENT,
+        "word_repetition_stats": SQL_WORD_REPETITION_STATS,
         "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "pricing_summary": SQL_PRICING_SUMMARY,
