@@ -69,7 +69,8 @@ def main() -> None:
     )
 
     # 3. assign split at component granularity, write one dir per side
-    out = leakage_safe_split(comp)
+    # (materialize: three consumers below would otherwise re-run lineage)
+    out = leakage_safe_split(comp).materialize()
     for side in ("train", "test"):
         out.filter(lambda r, s=side: r["split"] == s).write_parquet(
             f"{out_dir}/{side}"

@@ -118,12 +118,13 @@ def q_leakage_safe_split(sf_dir: str):
 
     def keyed(batch: pa.Table) -> pa.Table:
         # python slicing = code POINTS, the same unit as SQL substr
-        # (dup_size_histogram precedent)
+        # (dup_size_histogram precedent); NULL text -> '' on both sides
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "pfx": pa.array(
-                    [t[:64] for t in batch["text"].to_pylist()], pa.string()
+                    [(t or "")[:64] for t in batch["text"].to_pylist()],
+                    pa.string(),
                 ),
             }
         )
@@ -144,7 +145,8 @@ def q_leakage_safe_split(sf_dir: str):
 SQL_LEAKAGE_SAFE_SPLIT = """
 WITH comp AS (
   SELECT doc_id,
-         min(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS component_id
+         min(doc_id) OVER (PARTITION BY substr(coalesce(text, ''), 1, 64))
+           AS component_id
   FROM documents
 )
 SELECT doc_id, component_id,
@@ -965,7 +967,9 @@ def q_word_repetition_stats(sf_dir: str):
         words: list[str] = []
         doc_idx: list[int] = []
         for i, t in enumerate(texts):
-            ws = [w for w in t.split(" ") if w]
+            # NULL text -> no words -> dropped by the keep mask, matching
+            # the SQL twin (string_split over coalesce(text,''))
+            ws = [w for w in (t or "").split(" ") if w]
             words.extend(ws)
             doc_idx.append(len(ws))
         n = len(texts)
@@ -1004,7 +1008,8 @@ def q_word_repetition_stats(sf_dir: str):
 
 
 SQL_WORD_REPETITION_STATS = """
-WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+           FROM documents),
 wf AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w != '' GROUP BY 1, 2),
 agg AS (SELECT doc_id, sum(c) AS total, count(*) AS distincts, max(c) AS maxc
         FROM wf GROUP BY 1)

@@ -72,8 +72,9 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
       the left keys, semi-join the right down to the matching rows, and
       merge driver-side — identical inner-join semantics, no shuffle.
     """
-    lk = on if isinstance(on, str) else on[0]
-    rk = (right_on if isinstance(right_on, str) else right_on[0]) if right_on else lk
+    lks = [on] if isinstance(on, str) else list(on)
+    rks = ([right_on] if isinstance(right_on, str) else list(right_on)) if right_on else lks
+    lk, rk = lks[0], rks[0]
     nparts = num_join_partitions(num_partitions)
 
     if join_type == "inner":
@@ -81,11 +82,13 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
         n_right = right.count()
         r_bytes = right.size_bytes() or 0
         if 0 < n_right <= broadcast_rows and r_bytes <= broadcast_bytes:
-            return _broadcast_inner_join(left, right, lk=lk, rk=rk)
+            return _broadcast_inner_join(left, right, lks=lks, rks=rks)
 
     left = left.materialize()
     n_left = left.count()
-    if join_type == "inner" and n_left < nparts * 8:
+    # the sparse-left fallback below builds a single-column key set; for
+    # composite keys go straight to the shuffle join
+    if join_type == "inner" and len(lks) == 1 and n_left < nparts * 8:
         import numpy as np
         import ray.data as rd
 
@@ -115,7 +118,7 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
     )
 
 
-def _broadcast_inner_join(left, right, *, lk: str, rk: str):
+def _broadcast_inner_join(left, right, *, lks: list, rks: list):
     """Inner join with the (small, materialized) right side broadcast.
 
     The right blocks are concatenated once in a remote task; the
@@ -123,9 +126,18 @@ def _broadcast_inner_join(left, right, *, lk: str, rk: str):
     by every map task (one plasma get per task, shared-memory on the
     same node — the `ray.put` once / read-everywhere broadcast pattern).
     The per-batch join is pyarrow's acero hash join (C++), with the
-    right key coalesced into the left key exactly like `Dataset.join`.
+    right key(s) coalesced into the left key(s) exactly like
+    `Dataset.join` (composite keys pass through intact).
+
+    The left side is materialized and its zero-row blocks dropped first:
+    map_batches never invokes the UDF on empty blocks, so a shuffle-
+    produced schema-less empty block would otherwise pass through
+    un-joined and poison downstream acero joins with a mixed-schema
+    dataset. The barrier costs streaming overlap, but the alternative
+    (Dataset.join) is an all-to-all barrier anyway.
     """
     import ray as _ray
+    import ray.data as rd
 
     @_ray.remote
     def _concat(*tables) -> pa.Table:
@@ -133,22 +145,33 @@ def _broadcast_inner_join(left, right, *, lk: str, rk: str):
 
     rrefs = right.to_arrow_refs()
     rt_ref = _concat.remote(*rrefs)
-    rschema = right.schema()
-    r_payload = [
-        (c, t) for c, t in zip(rschema.names, rschema.types) if c != rk
-    ]
+
+    mat = left.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        # empty inner join, but with the JOINED schema: left columns +
+        # right payload columns
+        lschema = mat.schema()
+        rschema = right.schema()
+        lnames = lschema.names if lschema is not None else []
+        ltypes = lschema.types if lschema is not None else []
+        cols = {c: pa.array([], t) for c, t in zip(lnames, ltypes)}
+        for c, t in zip(rschema.names, rschema.types):
+            if c not in rks:
+                cols[c] = pa.array([], t)
+        return rd.from_arrow(pa.table(cols))
 
     def bjoin(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or batch.num_columns == 0:
-            cols = {c: batch[c] for c in batch.column_names}
-            cols.update({c: pa.array([], t) for c, t in r_payload})
-            return pa.table(cols)
         rt = _ray.get(rt_ref)
-        if rk == lk:
-            return batch.join(rt, keys=[lk], join_type="inner")
-        return batch.join(rt, keys=[lk], right_keys=[rk], join_type="inner")
+        if rks == lks:
+            return batch.join(rt, keys=lks, join_type="inner")
+        return batch.join(rt, keys=lks, right_keys=rks, join_type="inner")
 
-    return left.map_batches(bjoin, batch_format="pyarrow")
+    return rd.from_arrow_refs(refs).map_batches(bjoin, batch_format="pyarrow")
 
 
 def combine_aggregate(ds, keys, partial_fn, merge_fn=None, *, fan: int = 8):
@@ -593,10 +616,14 @@ def build_bloom(ds, key: str, *, n_bits: int = 1 << 23, k_hashes: int = 7,
                 fan: int = 8):
     """Distributed Bloom filter of a key column: per-block bitmaps OR'd by
     a task-side tree-reduce; the driver only ever holds the final
-    ObjectRef. Returns (bitmap_ref, n_bits, k_hashes).
+    ObjectRef.
 
     n_bits default 8M (1 MiB bitmap) ~= 1% false positives at 1M keys
     with 7 hashes; size it ~8-10 bits per expected distinct key.
+    Returns (bitmap_ref, test_fn) — test_fn(keys, bitmap) -> bool mask of
+    maybe-present. Keys may be any dtype: integers go through splitmix64
+    directly, everything else through the same object hash
+    partitioned_groupby uses.
     """
     import numpy as np
     import ray as _ray
@@ -612,7 +639,12 @@ def build_bloom(ds, key: str, *, n_bits: int = 1 << 23, k_hashes: int = 7,
             return z ^ (z >> np.uint64(31))
 
         with np.errstate(over="ignore"):
-            z = keys.astype(np.int64).view(np.uint64)
+            if keys.dtype.kind in "iu":
+                z = keys.astype(np.int64).view(np.uint64)
+            else:
+                z = pd.util.hash_array(
+                    np.asarray(keys, dtype=object), categorize=False
+                )
             h1 = mix(z)
             h2 = mix(z ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
         return h1, h2
@@ -632,7 +664,7 @@ def build_bloom(ds, key: str, *, n_bits: int = 1 << 23, k_hashes: int = 7,
 
     @_ray.remote
     def _block_bloom(t: pa.Table) -> np.ndarray:
-        return _set_bits(t[key].to_numpy(zero_copy_only=False).astype(np.int64))
+        return _set_bits(t[key].to_numpy(zero_copy_only=False))
 
     @_ray.remote
     def _or(*bms) -> np.ndarray:
@@ -650,7 +682,7 @@ def build_bloom(ds, key: str, *, n_bits: int = 1 << 23, k_hashes: int = 7,
     def test_fn(keys: np.ndarray, bitmap: np.ndarray) -> np.ndarray:
         """Vectorized membership test: True = maybe-present."""
         hit = np.ones(keys.shape[0], bool)
-        h1, h2 = _hashes(keys.astype(np.int64))
+        h1, h2 = _hashes(keys)
         for i in range(k_hashes):
             with np.errstate(over="ignore"):
                 pos = (h1 + np.uint64(i) * h2) % nb
@@ -686,7 +718,7 @@ def bloom_cogroup_anti_join(left, right, *, on: str,
 
     def split(batch: pa.Table, *, keep_hits: bool) -> pa.Table:
         bm = _ray.get(bloom_ref)
-        keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = batch[on].to_numpy(zero_copy_only=False)
         hit = test_fn(keys, bm)
         mask = hit if keep_hits else ~hit
         return batch.filter(pa.array(mask))
@@ -702,5 +734,20 @@ def bloom_cogroup_anti_join(left, right, *, on: str,
         hits, right, on=on, right_on=rk, num_parts=num_parts
     )
     lschema = left.schema()
-    cols = dict(zip(lschema.names, lschema.types))
+    cols = {
+        name: _as_arrow_type(t)
+        for name, t in zip(lschema.names, lschema.types)
+    }
     return with_schema(misses.union(checked), cols)
+
+
+def _as_arrow_type(t) -> pa.DataType:
+    """Dataset.schema() yields pa.DataType for Arrow blocks but numpy /
+    python types for pandas-backed blocks — normalize to Arrow."""
+    if isinstance(t, pa.DataType):
+        return t
+    import numpy as np
+
+    if t in (str, object):
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(t))

@@ -462,8 +462,8 @@ def _srp_planes(d: int, n_bits: int, seed: int) -> np.ndarray:
     return _SRP_PLANES[key]
 
 
-def srp_lsh_dup_pairs(ds, *, threshold: float = 0.9, n_bands: int = 16,
-                      band_bits: int = 8, seed: int = 0x5EED,
+def srp_lsh_dup_pairs(ds, *, threshold: float = 0.9, n_bands: int | None = None,
+                      band_bits: int | None = None, seed: int = 0x5EED,
                       embedding_col: str = "embedding",
                       vec_id_col: str = "vec_id",
                       config=None):
@@ -474,23 +474,39 @@ def srp_lsh_dup_pairs(ds, *, threshold: float = 0.9, n_bands: int = 16,
 
     Precision is 1.0 by construction (every emitted pair is rescored
     from the real vectors); recall is the banded collision probability
-    1-(1-p^b)^r with p = 1 - theta/pi — at cos=0.9 with 16 bands x 8
-    bits that is ~0.996, pytest-gated against the exact blocked
-    all-pairs baseline (`cosine_dup_pairs`). This is the linear-shuffle
-    scale path of the embedding dedup family: band rows are
-    (bucket, vec_id) exactly like the MinHash path, so pair emission
-    reuses the vectorized LSH clique emitter, and the rescore ships
-    vectors as fixed-width binary through the join (the same transport
-    the verify stage uses for shingle sets).
+    1-(1-p^b)^r with p = 1 - theta/pi. Band GEOMETRY must scale with the
+    corpus: unlike MinHash (where a shared bucket implies real
+    similarity), SRP buckets at b bits are only 2^b cells of random
+    halfspaces, so with fixed b=8 any corpus beyond ~8k vectors drives
+    every bucket past the hot-bucket star cap and recall collapses
+    (measured 0.32 at 20k docs). band_bits therefore defaults to
+    ~log2(n/8) (target ~8 rows/bucket, clamped [8, 24]) and n_bands to
+    the count that restores 0.995 recall at `threshold` given that band
+    length — pytest-gated at 320 AND 12k vectors with randomly-placed
+    planted pairs against the exact all-pairs baseline.
+
+    This is the linear-shuffle scale path of the embedding dedup family:
+    band rows are (bucket, vec_id) exactly like the MinHash path, so
+    pair emission reuses the vectorized LSH clique emitter, and the
+    rescore ships vectors as fixed-width binary through the join (the
+    same transport the verify stage uses for shingle sets).
     """
     from fastdup_ray.config import DedupConfig
     from fastdup_ray.relational.ops import hash_join
     from fastdup_ray.stages.lsh import candidate_pairs
 
     cfg = config or DedupConfig()
-    n_bits = n_bands * band_bits
+    if band_bits is None:
+        n_total = ds.count()
+        band_bits = int(min(24, max(8, np.ceil(np.log2(max(n_total, 2) / 8.0)))))
     if band_bits > 32:
         raise ValueError("band_bits must be <= 32 (bucket packing)")
+    if n_bands is None:
+        p_bit = 1.0 - np.arccos(float(np.clip(threshold, -1.0, 0.9999))) / np.pi
+        p_band = max(1e-12, p_bit ** band_bits)
+        miss = np.log(0.005) / np.log(max(1e-12, 1.0 - p_band))
+        n_bands = int(min(96, max(8, np.ceil(miss))))
+    n_bits = n_bands * band_bits
 
     # two outputs from one pass would force a wide row; emit band rows
     # and the vector side table as separate narrow projections instead

@@ -31,7 +31,10 @@ def leakage_safe_split(labels, *, col: str = "component_id",
         import numpy as np
 
         ids = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
-        is_test = pa.array((ids % mod) < test_mod)
+        # fmod, not %: C-style sign-of-dividend semantics, the same as
+        # SQL's % — so negative ids produce the same split in the DuckDB
+        # twin (numpy % would map -7 % 10 -> 3, SQL -> -7)
+        is_test = pa.array(np.fmod(ids, mod) < test_mod)
         split = pc.if_else(is_test, pa.scalar("test"), pa.scalar("train"))
         return batch.append_column("split", split)
 

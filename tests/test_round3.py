@@ -600,3 +600,112 @@ def test_leakage_safe_split_invariants(ray_session):
         out.drop_duplicates("component_id")["split"].eq("test").mean()
     )
     assert 0.1 < frac < 0.3, frac
+
+
+def test_srp_lsh_recall_at_scale_random_ids(ray_session):
+    """The code-review repro: thousands of vectors with planted near-dup
+    pairs at RANDOM id positions (so star-capped hot buckets can't cover
+    them by luck). Adaptive band geometry must keep recall >= 0.95."""
+    import pandas as pd
+
+    from fastdup_ray.stages.ann import cosine_dup_pairs, srp_lsh_dup_pairs
+
+    rng = np.random.default_rng(29)
+    d = 64
+    n_noise = 12_000
+    n_pairs = 100
+    vecs = [rng.standard_normal(d) for _ in range(n_noise)]
+    for _ in range(n_pairs):
+        a = rng.standard_normal(d)
+        vecs.append(a)
+        vecs.append(a + rng.standard_normal(d) * 0.05)
+    ids = rng.permutation(len(vecs))  # planted pairs NOT at min ids
+    df = pd.DataFrame({
+        "vec_id": ids,
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    ds = rd.from_pandas(df).repartition(16).materialize()
+
+    exact = cosine_dup_pairs(ds, threshold=0.9).to_pandas()
+    lsh = srp_lsh_dup_pairs(ds, threshold=0.9).to_pandas()
+    ek = set(zip(exact["src"], exact["dst"]))
+    lk = set(zip(lsh["src"], lsh["dst"]))
+    assert len(ek) >= n_pairs * 0.9  # the planting worked
+    assert lk <= ek
+    recall = len(lk & ek) / len(ek)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(ek)} true pairs"
+
+
+def test_hash_join_broadcast_composite_keys(ray_session):
+    """Composite (tuple) join keys must survive the broadcast path."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import hash_join
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({
+        "a": rng.integers(0, 10, 500),
+        "b": rng.integers(0, 10, 500),
+        "lv": np.arange(500),
+    })
+    right = pd.DataFrame({
+        "a": np.repeat(np.arange(10), 10),
+        "b": np.tile(np.arange(10), 10),
+        "rv": np.arange(100) * 7,
+    })
+    # same-named composite keys
+    got = hash_join(
+        rd.from_pandas(left).repartition(5), rd.from_pandas(right),
+        on=("a", "b"),
+    ).to_pandas()
+    want = left.merge(right, on=["a", "b"], how="inner")
+    key = ["a", "b", "lv", "rv"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_join_broadcast_empty_left_blocks(ray_session):
+    """Broadcast-join output must not carry schema-less empty blocks
+    (zero-row shuffle blocks bypass map_batches UDFs): chaining a second
+    join after a partitioned_groupby left side must work."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import hash_join, partitioned_groupby
+
+    left = pd.DataFrame({"k": np.arange(40) % 7, "v": np.arange(40)})
+
+    def agg(df):
+        return df.groupby("k", as_index=False).agg(s=("v", "sum"))
+
+    # 64 partitions >> 7 keys -> the sort shuffle emits many empty blocks
+    lds = partitioned_groupby(rd.from_pandas(left), "k", agg, num_parts=32)
+    r1 = pd.DataFrame({"rk": np.arange(7), "name": [f"n{i}" for i in range(7)]})
+    r2 = pd.DataFrame({"k2": np.arange(7), "extra": np.arange(7) * 3})
+    j1 = hash_join(lds, rd.from_pandas(r1), on="k", right_on="rk").materialize()
+    j2 = hash_join(j1, rd.from_pandas(r2), on="k", right_on="k2").to_pandas()
+    want = agg(left).merge(r1, left_on="k", right_on="rk").drop(columns="rk")
+    want = want.merge(r2, left_on="k", right_on="k2").drop(columns="k2")
+    key = sorted(want.columns)
+    got = j2[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bloom_anti_join_string_keys(ray_session):
+    """Bloom prefilter must support non-integer keys (urls/domains)."""
+    import pandas as pd
+
+    from fastdup_ray.relational.ops import bloom_cogroup_anti_join
+
+    left = pd.DataFrame({
+        "u": [f"https://site{i}.com/p" for i in range(300)],
+        "v": np.arange(300),
+    })
+    right = pd.DataFrame({"ru": [f"https://site{i}.com/p" for i in range(0, 300, 3)]})
+    got = bloom_cogroup_anti_join(
+        rd.from_pandas(left).repartition(4), rd.from_pandas(right),
+        on="u", right_on="ru", num_parts=8,
+    ).to_pandas()
+    want = left[~left["u"].isin(set(right["ru"]))]
+    assert sorted(got["v"].astype(int)) == sorted(want["v"])
