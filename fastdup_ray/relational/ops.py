@@ -159,10 +159,13 @@ def _broadcast_inner_join(left, right, *, lks: list, rks: list):
         rschema = right.schema()
         lnames = lschema.names if lschema is not None else []
         ltypes = lschema.types if lschema is not None else []
-        cols = {c: pa.array([], t) for c, t in zip(lnames, ltypes)}
+        # _as_arrow_type: pandas-backed blocks report numpy/python types
+        cols = {
+            c: pa.array([], _as_arrow_type(t)) for c, t in zip(lnames, ltypes)
+        }
         for c, t in zip(rschema.names, rschema.types):
             if c not in rks:
-                cols[c] = pa.array([], t)
+                cols[c] = pa.array([], _as_arrow_type(t))
         return rd.from_arrow(pa.table(cols))
 
     def bjoin(batch: pa.Table) -> pa.Table:
