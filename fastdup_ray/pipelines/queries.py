@@ -1061,6 +1061,30 @@ SELECT event_id, user_id, o_orderkey AS last_orderkey FROM j WHERE rn = 1
 """
 
 
+# -------------------------------------------------------- bloom anti-join
+def q_customers_without_events(sf_dir: str):
+    """J5 anti-join at scale shape: customers with no event activity,
+    via the Bloom-prefiltered anti-join — ~90% of customers miss the
+    1 MiB broadcast sketch and bypass the shuffle entirely as guaranteed
+    output; only the ~10% bloom hits run the exact cogroup check.
+    Output identical to the plain shuffle anti-join by construction."""
+    from fastdup_ray.relational.ops import bloom_cogroup_anti_join
+
+    res = bloom_cogroup_anti_join(
+        _t(sf_dir, "customer", ["c_custkey"]),
+        _t(sf_dir, "events", ["user_id"]),
+        on="c_custkey", right_on="user_id",
+    )
+    vals = sorted(r["c_custkey"] for r in res.take_all())
+    return pa.table({"c_custkey": pa.array(vals, pa.int64())})
+
+
+SQL_CUSTOMERS_WITHOUT_EVENTS = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
 # ------------------------------------------------------------ pricing summary
 def q_pricing_summary(sf_dir: str):
     """A1-style wide aggregate (TPC-H Q1 shape) with per-batch partial
@@ -2341,6 +2365,7 @@ def queries():
         "word_repetition_stats": q_word_repetition_stats,
         "customer_revenue_topk": q_customer_revenue_topk,
         "customers_without_orders": q_customers_without_orders,
+        "customers_without_events": q_customers_without_events,
         "pricing_summary": q_pricing_summary,
         "outliers": q_outliers,
         "label_score": q_label_score,
@@ -2384,6 +2409,7 @@ def oracle_sql():
         "word_repetition_stats": SQL_WORD_REPETITION_STATS,
         "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "outliers": SQL_OUTLIERS,
         "label_score": SQL_LABEL_SCORE,
