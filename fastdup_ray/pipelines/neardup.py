@@ -275,6 +275,104 @@ class NearDupPipeline:
         )
         return self._run_tail(docs, fp_docs, sigs, fp_sigs, resume)
 
+    def run_incremental(self, new_pages, *, base: "NearDupResult",
+                        input_token: str, base_token: str | None = None,
+                        resume: bool = True) -> "NearDupResult":
+        """Append-mode dedup — the daily-crawl increment path the
+        reference covers with its test-vs-train run modes (RUN.md:188-191
+        run_mode=3/4, __init__.py:594-597): extract + sign ONLY the new
+        batch, emit intra-new candidates plus new-x-base candidates via
+        the G7 cross emitter over the base run's (already signed) band
+        rows, verify those pairs exactly against the UNION of both
+        corpora's payloads (the verify stage endpoint-filters, so only
+        pair members are ever indexed), union the new scores with the
+        base run's scored edges, and re-run connected components over the
+        combined edge set (CC is the cheap stage).
+
+        Every kernel is deterministic, so the result is EXACTLY what a
+        full run over old+new pages would produce (pytest-pinned:
+        tests/test_round3.py::test_incremental_equals_full_run) — without
+        re-extracting, re-signing or re-verifying the base corpus.
+
+        base_token identifies the base run for resume fingerprinting;
+        when None, the incremental stages run with resume disabled (a
+        different base could otherwise serve stale checkpoints).
+        """
+        cfg = self.cfg
+        if base_token is None:
+            resume = False
+            base_token = "unversioned-base"
+
+        build_docs = lambda: self._hook(  # noqa: E731
+            "post_extract",
+            new_pages.map_batches(
+                HtmlExtractStage(cfg.min_text_len),
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+            ),
+        )
+        docs_n, fp_dn = self._stage(
+            "docs_incr", [input_token, self.hooks_token], build_docs,
+            resume=resume,
+        )
+        sigs_n, fp_sn = self._stage(
+            "signatures_incr", [fp_dn],
+            lambda: docs_n.map_batches(
+                SignStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+            ),
+            resume=resume,
+        )
+
+        from fastdup_ray.stages.lsh import cross_candidate_pairs
+
+        def build_pairs():
+            bands_new = sigs_n.map_batches(
+                BandStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+            bands_base = base.signatures().map_batches(
+                BandStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+            intra = candidate_pairs(bands_new, cfg)
+            cross = cross_candidate_pairs(bands_new, bands_base, cfg)
+            return intra.union(cross)
+
+        pairs_n, fp_pn = self._stage(
+            "pairs_incr", [fp_sn, base_token], build_pairs, resume=resume
+        )
+
+        docs_all = docs_n.union(base.docs())
+        sigs_all = sigs_n.union(base.signatures())
+        shingle_sets = None
+        sig_schema = sigs_all.schema()
+        if cfg.verify_mode == "exact" and sig_schema and "shingles" in sig_schema.names:
+            shingle_sets = sigs_all.select_columns(["doc_id", "shingles"])
+        scores_n, fp_scn = self._stage(
+            "pair_scores_incr", [fp_pn, base_token],
+            lambda: verify_pairs(pairs_n, sigs_all, docs_all, cfg,
+                                 shingle_sets=shingle_sets),
+            resume=resume,
+        )
+
+        scores_all = scores_n.union(base.pair_scores()).materialize()
+
+        def build_components():
+            edges = self._hook("pre_components", scores_all).map_batches(
+                lambda b: b.filter(
+                    pa.compute.greater_equal(
+                        b["distance"], pa.scalar(cfg.cc_threshold)
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            return connected_components(edges, cfg)
+
+        comps, _ = self._stage(
+            "components_incr", [fp_scn, base_token, self.hooks_token],
+            build_components, resume=resume,
+        )
+
+        pairs_all = pairs_n.union(base._pairs)
+        return NearDupResult(self, docs_all, sigs_all, pairs_all, scores_all, comps)
+
     def _run_fused(self, pages, input_token: str, resume: bool) -> "NearDupResult":
         """Fused extract+sign: ONE task pipeline (Ray Data fuses the two
         unmaterialized map_batches) producing a single wide `docsig`

@@ -709,3 +709,49 @@ def test_bloom_anti_join_string_keys(ray_session):
     ).to_pandas()
     want = left[~left["u"].isin(set(right["ru"]))]
     assert sorted(got["v"].astype(int)) == sorted(want["v"])
+
+
+def test_incremental_equals_full_run(ray_session, tmp_path_factory):
+    """run_incremental(B, base=run(A)) must equal run(A+B) exactly:
+    same verified edge set (canonicalized) and the same component
+    partition — without re-processing A."""
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.sources.pages import synthesize_pages
+
+    pages, _ = synthesize_pages(900, seed=23)
+    A, B = pages.slice(0, 600), pages.slice(600)
+    cfg = DedupConfig()
+
+    full = NearDupPipeline(
+        cfg, work_dir=str(tmp_path_factory.mktemp("wd_full"))
+    ).run(rd.from_arrow(pages).repartition(8), input_token="full")
+
+    pipe = NearDupPipeline(cfg, work_dir=str(tmp_path_factory.mktemp("wd_incr")))
+    baseA = pipe.run(rd.from_arrow(A).repartition(6), input_token="A")
+    incr = pipe.run_incremental(
+        rd.from_arrow(B).repartition(4), base=baseA, input_token="B"
+    )
+
+    def edge_set(res):
+        rows = res.similarity().take_all()
+        return {
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]),
+             round(r["distance"], 9))
+            for r in rows
+        }
+
+    ef, ei = edge_set(full), edge_set(incr)
+    assert ef, "fixture must contain similarity edges"
+    assert ef == ei
+
+    def comp_map(res):
+        return {
+            r["doc_id"]: r["component_id"]
+            for r in res.connected_components().take_all()
+        }
+
+    assert comp_map(full) == comp_map(incr)
+    # the increment actually reused A: its incremental docs stage only
+    # processed B's rows
+    n_b_docs = incr._docs.count() - baseA.docs().count()
+    assert 0 < n_b_docs <= 360  # ~300 pages + synthetic dup planting
