@@ -953,6 +953,72 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+# -------------------------------------------------- contamination detection
+def q_benchmark_contamination(sf_dir: str):
+    """Test-set contamination check (the G7 cross-corpus mode applied to
+    the training-data problem): treat the corpus's largest source as the
+    held-out benchmark and report every benchmark doc whose 64-char
+    prefix also appears in the train split (all other sources), with the
+    match count and the smallest matching train doc id. Cogrouped by
+    prefix — one vectorized merge per partition, no driver loops."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False, sort=False).agg(
+            n=("source", "size")
+        )
+
+    src_counts = combine_aggregate(
+        _t(sf_dir, "documents", ["source"]), "source", partial
+    ).take_all()
+    # max by count, ties to the LEXICALLY FIRST source (SQL: count DESC,
+    # source ASC)
+    best_n = max(r["n"] for r in src_counts)
+    bench_source = min(
+        r["source"] for r in src_counts if r["n"] == best_n
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        side = pc.equal(batch["source"], pa.scalar(bench_source))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pfx": pa.array([(t or "")[:64] for t in texts], pa.string()),
+                "is_bench": side,
+            }
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        tr = (
+            df[~df["is_bench"]]
+            .groupby("pfx")
+            .agg(n_train_matches=("doc_id", "size"),
+                 example_train_doc=("doc_id", "min"))
+        )
+        bd = df[df["is_bench"]]
+        m = bd.merge(tr, left_on="pfx", right_index=True, how="inner")
+        return m[["doc_id", "n_train_matches", "example_train_doc"]]
+
+    return partitioned_groupby(ds, "pfx", fold)
+
+
+SQL_BENCHMARK_CONTAMINATION = """
+WITH bs AS (SELECT source FROM documents
+            GROUP BY source ORDER BY count(*) DESC, source LIMIT 1),
+b AS (SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS pfx FROM documents
+      WHERE source = (SELECT source FROM bs)),
+t AS (SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS pfx FROM documents
+      WHERE source != (SELECT source FROM bs))
+SELECT b.doc_id, count(*) AS n_train_matches,
+       min(t.doc_id) AS example_train_doc
+FROM b JOIN t ON b.pfx = t.pfx GROUP BY 1
+"""
+
+
 # ------------------------------------------------------- repetition signals
 def q_word_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
@@ -2363,6 +2429,7 @@ def queries():
         "sessionize": q_sessionize,
         "last_order_before_event": q_last_order_before_event,
         "word_repetition_stats": q_word_repetition_stats,
+        "benchmark_contamination": q_benchmark_contamination,
         "customer_revenue_topk": q_customer_revenue_topk,
         "customers_without_orders": q_customers_without_orders,
         "customers_without_events": q_customers_without_events,
@@ -2407,6 +2474,7 @@ def oracle_sql():
         "sessionize": SQL_SESSIONIZE,
         "last_order_before_event": SQL_LAST_ORDER_BEFORE_EVENT,
         "word_repetition_stats": SQL_WORD_REPETITION_STATS,
+        "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
         "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
