@@ -40,6 +40,21 @@ def main(argv=None) -> int:
     # field; flags override the file. JSON always; YAML when pyyaml exists.
     run.add_argument("--config", default=None, help="JSON/YAML job-spec file")
 
+    app = sub.add_parser(
+        "append",
+        help="incremental dedup: NEW pages against a finished base work_dir "
+             "(only the new batch is extracted/signed/verified)",
+    )
+    app.add_argument("--input", required=True, help="parquet with the NEW pages")
+    app.add_argument("--base-work-dir", required=True,
+                     help="work_dir of the finished base run")
+    app.add_argument("--work-dir", required=True,
+                     help="work_dir for the incremental stages")
+    app.add_argument("--out", default=None)
+    app.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    app.add_argument("--no-resume", action="store_true")
+
     rep = sub.add_parser("report", help="galleries + HTML digest from a finished work_dir")
     rep.add_argument("--input", required=True)
     rep.add_argument("--work-dir", required=True)
@@ -65,6 +80,34 @@ def main(argv=None) -> int:
 
     from fastdup_ray.config import DedupConfig
     from fastdup_ray.pipelines.neardup import NearDupPipeline
+
+    if args.cmd == "append":
+        import ray.data as rd
+
+        base = NearDupPipeline.load_result(args.base_work_dir)
+        pipe = NearDupPipeline(base.cfg, work_dir=args.work_dir)
+        # base_token: the base components manifest fingerprint identifies
+        # the base run for resume-safe increments
+        from fastdup_ray.pipelines.neardup import _fs_and_path
+
+        fs, root = _fs_and_path(args.base_work_dir)
+        with fs.open_input_stream(f"{root}/components/manifest.json") as fh:
+            base_token = json.loads(fh.read().decode())["fingerprint"]
+        res = pipe.run_incremental(
+            rd.read_parquet(args.input), base=base,
+            input_token=f"append:{args.input}", base_token=base_token,
+            resume=not args.no_resume,
+        )
+        summary = res.summary()
+        if args.out:
+            from fastdup_ray.pipelines.sinks import write_dedup_corpus
+
+            summary["dedup"] = write_dedup_corpus(
+                res, args.out, num_partitions=base.cfg.num_partitions
+            )
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "report":
         pipe = NearDupPipeline(DedupConfig(), work_dir=args.work_dir)

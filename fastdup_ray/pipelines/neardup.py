@@ -28,6 +28,7 @@ M4 milestone).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
@@ -212,6 +213,48 @@ class NearDupPipeline:
         except OSError:
             pass
         return ds, fp
+
+    @classmethod
+    def load_result(cls, work_dir: str) -> "NearDupResult":
+        """Restore a finished run from its checkpointed work_dir without
+        re-executing anything (S13 artifact reader, the analog of the
+        reference's load-from-work-dir controller init,
+        fastdup_controller.py:60-108): each stage's manifest names its
+        committed data dir, and the config is restored from the manifest
+        snapshot so a loaded result's accessors behave identically.
+        The loaded result can seed `run_incremental` (pass the base
+        manifest fingerprint as base_token for resume-safe increments).
+        """
+        pipe = None
+        tables = {}
+        for stage in ("docs", "signatures", "pairs", "pair_scores", "components"):
+            fs, root = _fs_and_path(work_dir)
+            man_path = f"{root}/{stage}/manifest.json"
+            try:
+                with fs.open_input_stream(man_path) as fh:
+                    man = json.loads(fh.read().decode())
+            except (OSError, json.JSONDecodeError):
+                raise FileNotFoundError(
+                    f"no committed manifest for stage {stage!r} in {work_dir}"
+                )
+            if pipe is None:
+                cfg_dict = dict(man.get("config") or {})
+                known = {f.name for f in dataclasses.fields(DedupConfig)}
+                cfg = DedupConfig(
+                    **{k: v for k, v in cfg_dict.items() if k in known}
+                )
+                if cfg.checkpoint_stages is not None:
+                    cfg = dataclasses.replace(
+                        cfg, checkpoint_stages=tuple(cfg.checkpoint_stages)
+                    )
+                pipe = cls(cfg, work_dir=work_dir)
+            tables[stage] = rd.read_parquet(
+                f"{root}/{stage}/{man['data_dir']}", filesystem=fs
+            )
+        return NearDupResult(
+            pipe, tables["docs"], tables["signatures"], tables["pairs"],
+            tables["pair_scores"], tables["components"],
+        )
 
     def run(self, pages=None, *, pages_path: str | None = None,
             input_token: str | None = None, resume: bool = True,

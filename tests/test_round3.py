@@ -755,3 +755,44 @@ def test_incremental_equals_full_run(ray_session, tmp_path_factory):
     # processed B's rows
     n_b_docs = incr._docs.count() - baseA.docs().count()
     assert 0 < n_b_docs <= 360  # ~300 pages + synthetic dup planting
+
+
+def test_load_result_roundtrip(ray_session, tmp_path_factory):
+    """load_result restores a finished run's tables and config from the
+    work_dir alone, and the loaded result can seed run_incremental."""
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.sources.pages import synthesize_pages
+
+    pages, _ = synthesize_pages(500, seed=3)
+    A, B = pages.slice(0, 350), pages.slice(350)
+    wd = str(tmp_path_factory.mktemp("wd_load"))
+    pipe = NearDupPipeline(DedupConfig(), work_dir=wd)
+    orig = pipe.run(rd.from_arrow(A).repartition(4), input_token="A")
+
+    loaded = NearDupPipeline.load_result(wd)
+    assert loaded.cfg.threshold == orig.cfg.threshold
+    assert loaded.docs().count() == orig.docs().count()
+
+    def edges(res):
+        return {
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]),
+             round(r["distance"], 9))
+            for r in res.similarity().take_all()
+        }
+
+    assert edges(loaded) == edges(orig)
+
+    # loaded result seeds an increment identically to the live result
+    pipe2 = NearDupPipeline(
+        DedupConfig(), work_dir=str(tmp_path_factory.mktemp("wd_incr2"))
+    )
+    incr_live = pipe2.run_incremental(
+        rd.from_arrow(B).repartition(3), base=orig, input_token="B"
+    )
+    pipe3 = NearDupPipeline(
+        DedupConfig(), work_dir=str(tmp_path_factory.mktemp("wd_incr3"))
+    )
+    incr_loaded = pipe3.run_incremental(
+        rd.from_arrow(B).repartition(3), base=loaded, input_token="B"
+    )
+    assert edges(incr_live) == edges(incr_loaded)
