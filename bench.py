@@ -200,7 +200,9 @@ def run_bench() -> dict:
         "outliers", "pagerank", "dedup_survivors",
         # round-3 additions
         "winnow_dup_pairs", "entity_span_counts", "doc_captions",
-        "embedding_lsh_pairs",
+        "embedding_lsh_pairs", "last_order_before_event",
+        "word_repetition_stats", "benchmark_contamination",
+        "leakage_safe_split", "customers_without_events",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}
