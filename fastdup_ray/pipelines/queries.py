@@ -524,9 +524,14 @@ WHERE c::DOUBLE/(sa.sz+sb.sz-c) >= 0.9
 # ----------------------------------------------------------- minhash pipeline
 def q_minhash_components(sf_dir: str, threshold: float = 0.9):
     """The scale path (G1+G4): MinHash/LSH candidates + exact verify +
-    distributed CC over the documents table. No SQL twin (LSH is
-    probabilistic); recall vs the exact n-gram oracle is asserted in
-    tests/test_queries.py."""
+    distributed CC over the documents table. The LSH candidate stage is
+    probabilistic, but verify rescoring is exact Jaccard, so the output
+    equals the exact char-5-gram-Jaccard>=0.9 component labeling whenever
+    LSH recall is 1.0 — which tests/test_queries.py asserts against the
+    exact n-gram oracle. That makes SQL_MINHASH_COMPONENTS (exact shingle
+    Jaccard + recursive-CTE components, min-id labels) a valid hash-match
+    twin on the deterministic test corpora (verified empirically at
+    sf0.001 and sf0.01)."""
     from fastdup_ray.stages.components import connected_components
     from fastdup_ray.stages.lsh import candidate_pairs
     from fastdup_ray.stages.signatures import BandStage, SignStage
@@ -545,6 +550,35 @@ def q_minhash_components(sf_dir: str, threshold: float = 0.9):
     )
     labels = connected_components(edges, cfg)
     return labels.rename_columns({"node": "doc_id", "label": "component_id"})
+
+
+SQL_MINHASH_COMPONENTS = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, text, length(text) AS L FROM documents),
+nums AS (SELECT unnest(range(1, (SELECT coalesce(max(L),1) FROM docs)+1)) AS i),
+sh AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, n.i::INT, 5) AS g
+  FROM docs d JOIN nums n ON n.i <= d.L - 4
+),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT src, dst FROM inter
+  JOIN sizes sa ON sa.doc_id = src JOIN sizes sb ON sb.doc_id = dst
+  WHERE c::DOUBLE/(sa.sz+sb.sz-c) >= 0.9
+),
+sym AS (SELECT src AS u, dst AS v FROM pairs UNION SELECT dst AS u, src AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u
+"""
 
 
 def q_simhash_near_dup_pairs(sf_dir: str):
@@ -2499,6 +2533,9 @@ def oracle_sql():
         "entity_span_counts": SQL_ENTITY_SPAN_COUNTS,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
-        # minhash_components: probabilistic (LSH) -> rows-only by design
+        # LSH candidates are probabilistic, but exact-Jaccard verify makes
+        # the final labeling equal the exact-shingle oracle at recall 1.0
+        # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)
+        "minhash_components": SQL_MINHASH_COMPONENTS,
         # zero_shot_labels: embedding-model-defined -> rows-only
     }
