@@ -713,6 +713,71 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     return ivf_topk(assigned, cent, qids, qm, k=k, nprobe=6)
 
 
+def q_ivf_probe_topk(sf_dir: str, n_queries: int = 5, n_centroids: int = 16,
+                     k: int = 10, nprobe: int = 6):
+    """IVF probe semantics pinned with a full SQL oracle: same assign/probe
+    /top-k machinery as ann_ivf_topk, but over the deterministic centroids
+    (first n_centroids vectors, normalized — the kmeans_assign convention),
+    which makes every step SQL-expressible. ann_ivf_topk keeps exercising
+    the seeded-Lloyd trainer (rows-only, recall-tested); this query proves
+    the probe/top-k path is exact given fixed centroids."""
+    from fastdup_ray.stages.ann import _normalize, ivf_assign, ivf_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    rows = sorted(
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_centroids))),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    qrows = [r for r in rows if r["vec_id"] < n_queries]
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    assigned = ivf_assign(ds, cent).materialize()
+    return ivf_topk(assigned, cent, qids, qm, k=k, nprobe=nprobe)
+
+
+SQL_IVF_PROBE_TOPK = """
+WITH cent AS (
+  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cent c ON TRUE
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+             c.cell ASC
+  ) = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT q.query_id, c.cell
+  FROM q JOIN cent c ON TRUE
+  QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+             c.cell ASC
+  ) <= 6
+)
+SELECT p.query_id, a.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 5) AS cosine
+FROM probes p
+JOIN assigned a ON a.cell = p.cell
+JOIN q ON q.query_id = p.query_id
+WHERE a.vec_id != p.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY p.query_id
+  ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 5) DESC,
+           a.vec_id ASC
+) <= 10
+"""
+
+
 def q_text_quality(sf_dir: str):
     """Language-ID + quality scoring (SQL-oracled: the stopword-count
     argmax, CJK override and Gopher-style quality formula are all
@@ -2457,6 +2522,7 @@ def queries():
         "leakage_safe_split": q_leakage_safe_split,
         "recent_events": q_recent_events,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ivf_probe_topk": q_ivf_probe_topk,
         "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
         "windowed_events": q_windowed_events,
@@ -2523,6 +2589,7 @@ def oracle_sql():
         "knn_lists": SQL_KNN_LISTS,
         "kmeans_assign": SQL_KMEANS_ASSIGN,
         "kmeans_topk": SQL_KMEANS_TOPK,
+        "ivf_probe_topk": SQL_IVF_PROBE_TOPK,
         # simhash is hash-defined but the hash IS SQL-expressible: the
         # generated mod-2^64 arithmetic twins in sql_hash.py reproduce
         # hash64_segmented + simhash64 bit-for-bit in DuckDB (r3)
