@@ -1623,6 +1623,60 @@ FROM documents
 """
 
 
+def q_token_pack_shards(sf_dir: str, budget: int = 256):
+    """Training-shard packing (GPT-style document concatenation): within
+    each source, docs in doc_id order are packed into fixed token-budget
+    shards; a doc's shard is floor(exclusive-prefix-tokens / budget), so
+    documents straddle shard boundaries exactly as sequence packing does.
+    Per-source ordered prefix sums run as one vectorized pass per hash
+    partition; a single source larger than a partition would be
+    sub-sharded by doc_id range with a two-pass offset scan at scale —
+    the per-source sequential dependency is inherent to the operator."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = pc.count_substring_regex(pc.fill_null(texts, ""), _BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_bpe_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    counts = _t(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"])
+        excl = (
+            df.groupby("source", sort=False)["n_bpe_tokens"].cumsum()
+            - df["n_bpe_tokens"]
+        )
+        df = df.assign(shard_id=(excl // budget).astype(np.int64))
+        return df[["doc_id", "source", "n_bpe_tokens", "shard_id"]]
+
+    return partitioned_groupby(counts, "source", pack)
+
+
+SQL_TOKEN_PACK_SHARDS = r"""
+WITH counts AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+')) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_bpe_tokens,
+       COALESCE(SUM(n_bpe_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // 256 AS shard_id
+FROM counts
+"""
+
+
 # -------------------------------------------------------- graph extras (G5/G9)
 def q_pagerank(sf_dir: str):
     """G5 PageRank + degree over the deterministic prefix-bucket pair
@@ -2540,6 +2594,7 @@ def queries():
         "hierarchical_components": q_hierarchical_components,
         "lang_confusion": q_lang_confusion,
         "bpe_token_counts": q_bpe_token_counts,
+        "token_pack_shards": q_token_pack_shards,
         "doc_captions": q_doc_captions,
         "entity_span_counts": q_entity_span_counts,
         "zero_shot_labels": q_zero_shot_labels,
@@ -2582,6 +2637,7 @@ def oracle_sql():
         "outliers": SQL_OUTLIERS,
         "label_score": SQL_LABEL_SCORE,
         "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+        "token_pack_shards": SQL_TOKEN_PACK_SHARDS,
         "stats_filtered_dups": SQL_STATS_FILTERED_DUPS,
         "component_majority_label": SQL_COMPONENT_MAJORITY_LABEL,
         "majority_keep": SQL_MAJORITY_KEEP,

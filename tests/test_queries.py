@@ -42,6 +42,8 @@ CHECKED = [
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "substring_dup_pairs",
+    "ivf_probe_topk",
+    "token_pack_shards",
 ]
 
 
