@@ -203,7 +203,7 @@ def run_bench() -> dict:
         "embedding_lsh_pairs", "last_order_before_event",
         "word_repetition_stats", "benchmark_contamination",
         "leakage_safe_split", "customers_without_events",
-        "ivf_probe_topk", "token_pack_shards",
+        "ivf_probe_topk", "token_pack_shards", "hll_distinct_grams",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

@@ -212,6 +212,56 @@ def rolling_shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return (mix64(h) >> np.uint64(32)).astype(np.uint32)
 
 
+def rolling_gram_hashes64(data, k: int) -> np.ndarray:
+    """Full-width uint64 hashes of every k-byte window (the 64-bit variant
+    of `rolling_shingle_hashes`, which truncates the same mix64 output to
+    32 bits). Sketches (HyperLogLog) need the full hash: register index
+    and rank together consume 64 bits."""
+    arr = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
+    n = arr.shape[0] - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    coef = _pow_u64(np.uint64(0x100000001B3), np.arange(k - 1, -1, -1, dtype=np.uint64))
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            h += arr[i : i + n].astype(np.uint64) * coef[i]
+    return mix64(h)
+
+
+def segmented_gram_hashes64(texts, k: int):
+    """Full-64-bit counterpart of `segmented_shingle_hashes`: (hashes:
+    uint64[N_total], offsets: int64[n_docs+1]) with identical doc-boundary
+    semantics (same concatenated-blob pass, windows straddling a boundary
+    invalidated)."""
+    import pyarrow as pa
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        data, abs_off = string_bytes_view(texts)
+        blob = data[abs_off[0] : abs_off[-1]]
+        lens = np.diff(abs_off)
+        n = lens.shape[0]
+    else:
+        enc = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
+        n = len(enc)
+        lens = np.fromiter((len(b) for b in enc), count=n, dtype=np.int64)
+        blob = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.maximum(lens - (k - 1), 0), out=offsets[1:])
+    total = int(lens.sum())
+    if total < k:
+        return np.empty(0, dtype=np.uint64), offsets
+    all_h = rolling_gram_hashes64(blob, k)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    keep = np.zeros(all_h.shape[0], dtype=bool)
+    for i in range(n):  # n = batch rows (~1k); cheap slicing loop
+        m = lens[i] - k + 1
+        if m > 0:
+            keep[starts[i] : starts[i] + m] = True
+    return all_h[keep], offsets
+
+
 def segmented_shingle_hashes(texts, k: int):
     """Shingle-hash a batch of texts in one numpy pass.
 

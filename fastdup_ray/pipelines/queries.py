@@ -34,6 +34,7 @@ from fastdup_ray.relational.ops import (
 from fastdup_ray.pipelines.sql_hash import (
     SQL_SIMHASH_FINGERPRINTS,
     SQL_SIMHASH_NEAR_DUP_PAIRS,
+    sql_hll_distinct_grams,
     sql_winnow_dup_pairs,
     sql_winnow_fingerprints,
 )
@@ -1677,6 +1678,17 @@ FROM counts
 """
 
 
+def q_hll_distinct_grams(sf_dir: str):
+    """Distributed HyperLogLog (p=10) distinct char-5-gram estimate per
+    source — the sketch path for per-group distinct counts: a pure map
+    stage + fixed-size register max-merge instead of shuffling every
+    distinct value. Registers and estimate are exactly reproduced in the
+    generated DuckDB twin (pipelines/sql_hash.sql_hll_distinct_grams)."""
+    from fastdup_ray.stages.sketches import hll_distinct
+
+    return hll_distinct(_t(sf_dir, "documents", ["source", "text"]))
+
+
 # -------------------------------------------------------- graph extras (G5/G9)
 def q_pagerank(sf_dir: str):
     """G5 PageRank + degree over the deterministic prefix-bucket pair
@@ -2595,6 +2607,7 @@ def queries():
         "lang_confusion": q_lang_confusion,
         "bpe_token_counts": q_bpe_token_counts,
         "token_pack_shards": q_token_pack_shards,
+        "hll_distinct_grams": q_hll_distinct_grams,
         "doc_captions": q_doc_captions,
         "entity_span_counts": q_entity_span_counts,
         "zero_shot_labels": q_zero_shot_labels,
@@ -2638,6 +2651,7 @@ def oracle_sql():
         "label_score": SQL_LABEL_SCORE,
         "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
         "token_pack_shards": SQL_TOKEN_PACK_SHARDS,
+        "hll_distinct_grams": sql_hll_distinct_grams(),
         "stats_filtered_dups": SQL_STATS_FILTERED_DUPS,
         "component_majority_label": SQL_COMPONENT_MAJORITY_LABEL,
         "majority_keep": SQL_MAJORITY_KEEP,

@@ -124,13 +124,11 @@ SQL_SIMHASH_FINGERPRINTS = (
 # intra-value cliques at hamming 0 plus canon-to-canon edges for distinct
 # values within hamming <= 3 (pigeonhole-exact, so "shares a quarter" and
 # "hamming <= 3" coincide).
-def winnow_ctes(k: int, w: int, doc_table: str = "documents") -> str:
-    """CTE chain reproducing stages/winnow.py exactly: rolling k-byte
-    polynomial hash (same base), fmix64 finisher, >> 32 to uint32, then
-    rightmost-min winnowing over windows of `w` hashes (docs with fewer
-    than w hashes get one window over all of them), DISTINCT selected
-    positions. Ends with fph(doc_id, p, h). ASCII-only like the simhash
-    twin (chars == utf-8 bytes on the test tables)."""
+def _gram_poly_ctes(k: int, doc_table: str = "documents") -> str:
+    """Shared CTE chain: every k-byte window of every doc -> wm4(doc_id,
+    p, x) one xorshift short of the finished mix64. winnow truncates it
+    to 32 bits (gh), the HLL twin keeps all 64 (gh64). ASCII-only like
+    the simhash twin (chars == utf-8 bytes on the test tables)."""
     return f"""
   pw(e, pp) AS (
     SELECT 0, CAST(1 AS UBIGINT)
@@ -155,7 +153,16 @@ def winnow_ctes(k: int, w: int, doc_table: str = "documents") -> str:
   wm1 AS (SELECT doc_id, p, {_xs33('x')} AS x FROM gpoly),
   wm2 AS (SELECT doc_id, p, {_mul('x', str(_M1))} AS x FROM wm1),
   wm3 AS (SELECT doc_id, p, {_xs33('x')} AS x FROM wm2),
-  wm4 AS (SELECT doc_id, p, {_mul('x', str(_M2))} AS x FROM wm3),
+  wm4 AS (SELECT doc_id, p, {_mul('x', str(_M2))} AS x FROM wm3)"""
+
+
+def winnow_ctes(k: int, w: int, doc_table: str = "documents") -> str:
+    """CTE chain reproducing stages/winnow.py exactly: rolling k-byte
+    polynomial hash (same base), fmix64 finisher, >> 32 to uint32, then
+    rightmost-min winnowing over windows of `w` hashes (docs with fewer
+    than w hashes get one window over all of them), DISTINCT selected
+    positions. Ends with fph(doc_id, p, h)."""
+    return _gram_poly_ctes(k, doc_table) + f""",
   gh AS (SELECT doc_id, p, CAST(({_xs33('x')}) >> 32 AS BIGINT) AS h FROM wm4),
   gm AS (SELECT doc_id, COUNT(*) AS m FROM gh GROUP BY doc_id),
   wins AS (
@@ -201,6 +208,45 @@ def sql_winnow_dup_pairs(k: int, w: int, min_shared: int, max_df: int) -> str:
     GROUP BY a.doc_id, b.doc_id
   )
 SELECT src, dst, n_shared FROM pr WHERE n_shared >= {min_shared}""")
+
+
+def sql_hll_distinct_grams(k: int = 5, doc_table: str = "documents") -> str:
+    """Twin of stages/sketches.hll_distinct (p=10, m=1024): registers from
+    the full-64-bit gram hash (top 10 bits = register, rank = leftmost
+    set bit of the low 54, 55 when zero), estimate from the exact HUGEINT
+    harmonic sum S = sum(2^(55-rank)) so float summation order cannot
+    differ from the numpy side; the double arithmetic below is written
+    term-for-term as in sketches._estimate. pow(2.0, n) is exact for
+    n <= 1023, and bin() emits no leading zeros, so length(bin(r))-1 is
+    an exact floor-log2 at 54 bits (float log2 is not)."""
+    return ("WITH RECURSIVE" + _gram_poly_ctes(k, doc_table) + f""",
+  gh64 AS (SELECT doc_id, {_xs33('x')} AS h FROM wm4),
+  gsrc AS (SELECT d.source, g.h FROM gh64 g JOIN {doc_table} d USING (doc_id)),
+  regs AS (
+    SELECT source, CAST(h >> 54 AS BIGINT) AS reg,
+           MAX(CASE WHEN (h % 18014398509481984) = 0 THEN 55
+                    ELSE 54 - (length(bin(h % 18014398509481984)) - 1)
+               END) AS rank
+    FROM gsrc GROUP BY source, reg
+  ),
+  hsum AS (
+    SELECT source,
+           SUM(CAST(pow(2.0, 55 - rank) AS HUGEINT))
+             + CAST(1024 - COUNT(*) AS HUGEINT)
+               * CAST(pow(2.0, 55) AS HUGEINT) AS s,
+           1024 - COUNT(*) AS v
+    FROM regs GROUP BY source
+  ),
+  raws AS (
+    SELECT source, v,
+           (0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0
+             * 36028797018963968.0 / CAST(s AS DOUBLE) AS raw
+    FROM hsum
+  )
+SELECT source,
+       ROUND(CASE WHEN raw <= 2560.0 AND v > 0
+                  THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 4) AS est_distinct
+FROM raws""")
 
 
 SQL_SIMHASH_NEAR_DUP_PAIRS = (

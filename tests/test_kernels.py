@@ -309,3 +309,52 @@ def test_oph_signer_properties():
     b = a[: len(a) // 2] + "Q" + a[len(a) // 2 :]
     s3, _ = oph.signatures([a, b, " ".join(words[30:])])
     assert estimate_jaccard(s3[0:1], s3[1:2])[0] > estimate_jaccard(s3[0:1], s3[2:3])[0]
+
+
+def test_gram_hashes64_consistent_with_32bit_kernel():
+    """The 32-bit shingle kernel is the top half of the 64-bit gram
+    kernel (same poly + mix64, truncated) — segmentation included."""
+    from fastdup_ray.functions.hashing import (
+        segmented_gram_hashes64,
+        segmented_shingle_hashes,
+    )
+
+    docs = ["the quick brown fox", "", "abcd", "abcde", "x" * 50, "día línea"]
+    h64, off64 = segmented_gram_hashes64(docs, 5)
+    h32, off32 = segmented_shingle_hashes(docs, 5)
+    assert (off64 == off32).all()
+    assert ((h64 >> np.uint64(32)).astype(np.uint32) == h32).all()
+
+
+def test_hll_accuracy_and_split_invariance():
+    """HLL estimate within ~5x stderr of the true distinct count, and the
+    register-partial merge makes the estimate independent of how the
+    input is batched (the distributed-merge property)."""
+    import math
+
+    from fastdup_ray.stages.sketches import _estimate, _ranks
+    from fastdup_ray.functions.hashing import segmented_gram_hashes64
+
+    rng = np.random.default_rng(7)
+    # ~4000 distinct 8-char tokens, each repeated 1-5 times
+    toks = ["w%07d" % i for i in rng.permutation(4000)]
+    stream = [t for t in toks for _ in range(int(rng.integers(1, 6)))]
+    text = " ".join(stream)
+    h, _ = segmented_gram_hashes64([text], 9)
+    # distinct 9-grams of the stream; ground truth via python set
+    truth = len({text[i:i + 9] for i in range(len(text) - 8)})
+
+    def regs_of(hashes):
+        reg, rank = _ranks(hashes)
+        out = np.zeros(1024, np.int64)
+        np.maximum.at(out, reg, rank)
+        return out
+
+    full = regs_of(h)
+    est = _estimate(full[full > 0])
+    assert abs(est / truth - 1) < 5 * 1.04 / math.sqrt(1024), (est, truth)
+    # split into 7 uneven chunks, merge by register max -> identical
+    merged = np.zeros(1024, np.int64)
+    for part in np.array_split(h, 7):
+        merged = np.maximum(merged, regs_of(part))
+    assert (merged == full).all()

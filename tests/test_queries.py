@@ -44,6 +44,7 @@ CHECKED = [
     "substring_dup_pairs",
     "ivf_probe_topk",
     "token_pack_shards",
+    "hll_distinct_grams",
 ]
 
 
