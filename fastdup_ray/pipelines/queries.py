@@ -1756,9 +1756,15 @@ WHERE f.i = 10
 
 
 def q_hierarchical_components(sf_dir: str):
-    """G9 cluster-the-clusters (rows-only: MinHash-defined): first-level
-    components = exact text dedup groups; exemplars re-clustered by
-    MinHash similarity at threshold 0.7."""
+    """G9 cluster-the-clusters: first-level components = exact text dedup
+    groups (identical members, so the medoid exemplar's TEXT equals the
+    canonical one's); exemplars re-clustered by MinHash/LSH + exact
+    verify at threshold 0.7. Exact verify rescoring means the output
+    equals the exact-Jaccard>=0.7 clustering whenever level-2 LSH recall
+    is 1.0, which makes SQL_HIERARCHICAL_COMPONENTS (level-1 window
+    groups + exact shingle Jaccard + recursive reachability) a valid
+    hash-match twin on the deterministic test corpora (verified at
+    sf0.001/sf0.01, 24 non-trivial cluster assignments each)."""
     from fastdup_ray.stages.hierarchy import hierarchical_components
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
@@ -1767,6 +1773,39 @@ def q_hierarchical_components(sf_dir: str):
         docs, comps, DedupConfig(), cluster_threshold=0.7
     )
     return clusters
+
+
+SQL_HIERARCHICAL_COMPONENTS = """
+WITH RECURSIVE
+l1 AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS component_id FROM documents),
+ex AS (SELECT DISTINCT component_id FROM l1),
+docs AS (SELECT d.doc_id, d.text, length(d.text) AS L FROM documents d JOIN ex ON ex.component_id = d.doc_id),
+nums AS (SELECT unnest(range(1, (SELECT coalesce(max(L),1) FROM docs)+1)) AS i),
+sh AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, n.i::INT, 5) AS g
+  FROM docs d JOIN nums n ON n.i <= d.L - 4
+),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT src, dst FROM inter
+  JOIN sizes sa ON sa.doc_id = src JOIN sizes sb ON sb.doc_id = dst
+  WHERE c::DOUBLE/(sa.sz+sb.sz-c) >= 0.7
+),
+sym AS (SELECT src AS u, dst AS v FROM pairs UNION SELECT dst AS u, src AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+),
+lbl AS (SELECT u AS component_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT e.component_id, COALESCE(l.cluster_id, e.component_id) AS cluster_id
+FROM ex e LEFT JOIN lbl l USING (component_id)
+"""
 
 
 def q_lang_confusion(sf_dir: str):
@@ -2674,5 +2713,8 @@ def oracle_sql():
         # the final labeling equal the exact-shingle oracle at recall 1.0
         # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)
         "minhash_components": SQL_MINHASH_COMPONENTS,
+        # same argument one level up: exact verify makes level-2 equal the
+        # exact-Jaccard clustering at LSH recall 1.0 (verified both scales)
+        "hierarchical_components": SQL_HIERARCHICAL_COMPONENTS,
         # zero_shot_labels: embedding-model-defined -> rows-only
     }
