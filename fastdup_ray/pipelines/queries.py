@@ -2596,6 +2596,72 @@ SQL_WINNOW_DUP_PAIRS = sql_winnow_dup_pairs(
     _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED, _WINNOW_MAX_DF)
 
 
+# ------------------------------------------- C4-style span dedup
+_SPAN_W = 13  # window length in tokens (C4 uses 3 sentences; fixed
+# token windows keep the rule exactly SQL-expressible for the oracle)
+
+_SQL_SPAN_CTES = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id, CAST(u.w AS BIGINT) AS win_idx,
+         array_to_string(t[u.w*{_SPAN_W}+1 : u.w*{_SPAN_W}+{_SPAN_W}], ' ') AS span
+  FROM toks, UNNEST(range(len(t) // {_SPAN_W})) AS u(w)
+), ranked AS (
+  SELECT doc_id, win_idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, win_idx) AS rn,
+         count(*) OVER (PARTITION BY span) AS cnt
+  FROM wins
+)
+"""
+
+
+def q_span_dedup_spans(sf_dir: str):
+    """C4-style span dedup, phase 1: the kill list — every occurrence of
+    a duplicated W-token window except its minimal (doc_id, win_idx)
+    keeper (Raffel et al. 2020 §2.2, fixed-window variant; stage doc in
+    stages/span_dedup.py). One shuffle on the 63-bit span hash; grouped
+    comparison is on the real span text, so collisions can't merge."""
+    from fastdup_ray.stages.span_dedup import span_kill_list
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return span_kill_list(docs, window=_SPAN_W)
+
+
+SQL_SPAN_DEDUP_SPANS = (
+    _SQL_SPAN_CTES
+    + "SELECT doc_id, win_idx, span FROM ranked WHERE cnt > 1 AND rn > 1"
+)
+
+
+def q_span_dedup_docs(sf_dir: str):
+    """C4-style span dedup, phase 2: the corpus rebuilt with every
+    non-first duplicated window deleted. The kill list (∝ duplicated
+    occurrences only) is broadcast once; untouched docs take the
+    vectorized join path."""
+    from fastdup_ray.stages.span_dedup import span_dedup_docs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup_docs(docs, window=_SPAN_W)
+
+
+SQL_SPAN_DEDUP_DOCS = _SQL_SPAN_CTES + r"""
+, kept AS (
+  SELECT doc_id, win_idx, span FROM ranked WHERE cnt = 1 OR rn = 1
+), agg AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY win_idx) AS body
+  FROM kept GROUP BY doc_id
+), trail AS (
+  SELECT doc_id,
+         array_to_string(t[(len(t)//{W})*{W}+1 : len(t)], ' ') AS trailer
+  FROM toks
+)
+SELECT tr.doc_id,
+       trim(coalesce(a.body,'') || ' ' || coalesce(tr.trailer,'')) AS text_clean
+FROM trail tr LEFT JOIN agg a USING (doc_id)
+""".replace("{W}", str(_SPAN_W))
+
+
 def queries():
     return {
         "dedup_survivors": q_dedup_survivors,
@@ -2652,6 +2718,8 @@ def queries():
         "zero_shot_labels": q_zero_shot_labels,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dup_pairs": q_winnow_dup_pairs,
+        "span_dedup_spans": q_span_dedup_spans,
+        "span_dedup_docs": q_span_dedup_docs,
     }
 
 
@@ -2709,6 +2777,8 @@ def oracle_sql():
         "entity_span_counts": SQL_ENTITY_SPAN_COUNTS,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
+        "span_dedup_spans": SQL_SPAN_DEDUP_SPANS,
+        "span_dedup_docs": SQL_SPAN_DEDUP_DOCS,
         # LSH candidates are probabilistic, but exact-Jaccard verify makes
         # the final labeling equal the exact-shingle oracle at recall 1.0
         # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)

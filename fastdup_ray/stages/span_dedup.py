@@ -1,0 +1,185 @@
+"""C4-style cross-document span dedup over fixed token windows.
+
+The reference dedups whole items: its `delete_components` drops entire
+images from a near-dup cluster (/root/reference/fastdup/__init__.py
+keep-policy paths; SURVEY.md D4). A web-text training pipeline also needs
+SPAN-level exact dedup — C4 (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning", §2.2) removes any three-sentence span occurring more
+than once in the corpus, keeping one occurrence. This stage is the fixed
+token-window variant of that rule (the unit is W consecutive whitespace
+tokens instead of three sentences, which keeps the semantics exactly
+SQL-expressible for the oracle):
+
+  * every document is split on single spaces; consecutive non-overlapping
+    windows of W tokens are the dedup unit; the trailing <W tokens are
+    never dedup candidates (always kept);
+  * a window whose text occurs at more than one (doc_id, win_idx) site
+    corpus-wide survives only at the minimal (doc_id, win_idx) site; every
+    other occurrence is deleted from its document;
+  * each document is rebuilt as the space-join of its surviving windows
+    plus its trailer (documents with no killed window are byte-identical
+    to the space-join of their tokens).
+
+Scale shape (the 100-TB story):
+  * window explosion is a pure vectorized map (`map_batches`, zero-copy
+    Arrow in, numpy gather on the token ListArray — no Python loop over
+    rows or tokens);
+  * the only shuffle is the groupby on the 63-bit span hash; within a
+    hash partition occurrences are compared by the REAL span text, so a
+    hash collision can never merge distinct spans (same belt-and-braces
+    rule as the verify stage's byte-confirm short-circuit);
+  * the kill list is proportional to the number of DUPLICATED window
+    occurrences — a small fraction of the corpus — so it is broadcast
+    once via `ray.put` and applied in a second map pass; only documents
+    that actually lost a window take the (rare) Python rebuild path,
+    untouched documents are rebuilt with the same vectorized join. Above
+    a kill-list budget, switch `apply` to the cogroup-join path
+    (relational.ops.cogroup_join on doc_id) — same semantics, no driver
+    state; the budget guard is in `span_dedup_docs`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from fastdup_ray.functions.hashing import id63
+from fastdup_ray.relational.ops import partitioned_groupby
+
+# Broadcast the kill list only while it plausibly fits in every worker's
+# heap; beyond this, fall back to a cogroup shuffle join on doc_id.
+_BROADCAST_KILL_BUDGET = 5_000_000
+
+
+def _windows_of_batch(batch: pa.Table, window: int):
+    """Vectorized window explosion for one Arrow batch.
+
+    Returns (doc_ids, win_idx, span_strings) where span_strings is an
+    Arrow string array of the space-joined W-token windows. No per-row
+    Python: tokens come from one `split_pattern`, window membership from
+    numpy arithmetic on the list offsets, window text from one
+    `binary_join` over a re-windowed ListArray.
+    """
+    toks = pc.split_pattern(batch["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    ntok = np.diff(offs)
+    nw = ntok // window
+    total = int(nw.sum())
+    if total == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            pa.array([], pa.string()),
+        )
+    doc_pos = np.repeat(np.arange(len(nw)), nw)
+    win_idx = np.arange(total) - np.repeat(np.cumsum(nw) - nw, nw)
+    start = offs[doc_pos] + win_idx * window
+    gather = (start[:, None] + np.arange(window)[None, :]).ravel()
+    win_vals = flat.take(pa.array(gather, pa.int64()))
+    win_offsets = pa.array(np.arange(total + 1, dtype=np.int64) * window,
+                           pa.int64())
+    win_list = pa.LargeListArray.from_arrays(win_offsets, win_vals)
+    spans = pc.binary_join(win_list, " ")
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_pos]
+    return doc_ids, win_idx.astype(np.int64), spans
+
+
+def explode_windows(docs, *, window: int = 13):
+    """documents(doc_id, text) -> windows(doc_id, win_idx, span, bucket).
+
+    `bucket` is the 63-bit span hash used as the shuffle key; `span` is
+    kept so the grouped comparison is on real text (collision-proof).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, win_idx, spans = _windows_of_batch(batch, window)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "win_idx": pa.array(win_idx, pa.int64()),
+            "span": spans,
+            "bucket": pa.array(id63(spans), pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _kill_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Within one hash partition: every occurrence of a span text that
+    appears >1 time corpus-wide, minus its minimal (doc_id, win_idx)
+    keeper. Grouping is by the real span string, not the hash."""
+    df = df.sort_values(["span", "doc_id", "win_idx"], kind="mergesort")
+    sizes = df.groupby("span", sort=False)["doc_id"].transform("size")
+    first = ~df["span"].duplicated()
+    out = df.loc[(sizes > 1) & ~first, ["doc_id", "win_idx", "span"]]
+    # keep the Arrow schema stable for empty partitions (str, not null)
+    return out.reset_index(drop=True).astype(
+        {"doc_id": "int64", "win_idx": "int64", "span": "string[pyarrow]"})
+
+
+def span_kill_list(docs, *, window: int = 13, num_parts: int = 64):
+    """Dataset of window occurrences to delete (doc_id, win_idx, span)."""
+    wins = explode_windows(docs, window=window)
+    return partitioned_groupby(wins, "bucket", _kill_partition,
+                               num_parts=num_parts)
+
+
+def _rebuild_batch(batch: pa.Table, window: int, kill_by_doc: dict) -> pa.Table:
+    """Rebuild text for one batch. Documents with no killed window take the
+    vectorized path (space-join of all tokens == original text under the
+    single-space token model); only killed documents loop."""
+    toks = pc.split_pattern(batch["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    joined = pc.binary_join(toks, " ")
+    hit = np.fromiter((int(d) in kill_by_doc for d in doc_ids),
+                      dtype=bool, count=len(doc_ids))
+    if not hit.any():
+        return pa.table({"doc_id": batch["doc_id"], "text_clean": joined})
+    out = joined.to_pylist()
+    for i in np.flatnonzero(hit):
+        tok = toks[i].as_py()
+        dead = kill_by_doc[int(doc_ids[i])]
+        nw = len(tok) // window
+        parts = [
+            tok[w * window:(w + 1) * window]
+            for w in range(nw) if w not in dead
+        ]
+        parts.append(tok[nw * window:])
+        out[i] = " ".join(t for p in parts for t in p)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text_clean": pa.array(out, pa.string()),
+    })
+
+
+def span_dedup_docs(docs, *, window: int = 13, num_parts: int = 64):
+    """documents(doc_id, text) -> (doc_id, text_clean) with every
+    non-first occurrence of a duplicated W-token window removed.
+
+    The kill list (small: only duplicated occurrences) is collected and
+    broadcast via `ray.put`; the rebuild is a second map over the
+    documents. Raises if the kill list exceeds the broadcast budget —
+    at that size use the cogroup variant (see module docstring)."""
+    kills = span_kill_list(docs, window=window, num_parts=num_parts)
+    kt = kills.select_columns(["doc_id", "win_idx"]).take_all()
+    if len(kt) > _BROADCAST_KILL_BUDGET:
+        raise NotImplementedError(
+            "kill list exceeds broadcast budget; wire the cogroup-join "
+            "rebuild (relational.ops.cogroup_join on doc_id)")
+    kill_by_doc: dict[int, set] = {}
+    for r in kt:
+        kill_by_doc.setdefault(int(r["doc_id"]), set()).add(int(r["win_idx"]))
+    ref = ray.put(kill_by_doc)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _rebuild_batch(batch, window, ray.get(ref))
+
+    return docs.map_batches(fn, batch_format="pyarrow")

@@ -45,6 +45,8 @@ CHECKED = [
     "ivf_probe_topk",
     "token_pack_shards",
     "hll_distinct_grams",
+    "span_dedup_spans",
+    "span_dedup_docs",
 ]
 
 
