@@ -2596,6 +2596,63 @@ SQL_WINNOW_DUP_PAIRS = sql_winnow_dup_pairs(
     _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED, _WINNOW_MAX_DF)
 
 
+# ------------------------------------- deterministic hash sampling
+_SAMPLE_SALT = 20260818
+_SAMPLE_RATES = {"en": 0.35}     # downweight the head language
+_SAMPLE_DEFAULT = 0.8
+_STRAT_N = 40
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language Bernoulli downsampling (head-language
+    rebalancing): keep iff mix64(doc_id^salt) % 1e6 < rate[lang]*1e6.
+    Shuffle-free single pass; membership (not just size) is oracled via
+    the bit-exact mix64 SQL twin (sql_hash.mix64_ctes)."""
+    from fastdup_ray.stages.sample import hash_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(docs, key="doc_id", group_col="lang",
+                       rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT,
+                       salt=_SAMPLE_SALT)
+
+
+def _sql_stratified(which: str) -> str:
+    from fastdup_ray.pipelines.sql_hash import mix64_ctes
+
+    ctes = mix64_ctes("doc_id", ["doc_id", "lang"], "documents",
+                      salt=_SAMPLE_SALT)
+    if which == "rate":
+        thr = " ".join(
+            f"WHEN lang = '{g}' THEN {int(r * 1_000_000)}"
+            for g, r in _SAMPLE_RATES.items())
+        return (f"WITH {ctes}\nSELECT doc_id, lang FROM mx5\n"
+                f"WHERE h5 % 1000000 < CASE {thr} "
+                f"ELSE {int(_SAMPLE_DEFAULT * 1_000_000)} END")
+    return (f"WITH {ctes},\nranked AS (\n"
+            "  SELECT doc_id, lang,\n"
+            "         row_number() OVER (PARTITION BY lang ORDER BY h5, doc_id) AS rn\n"
+            "  FROM mx5)\n"
+            f"SELECT doc_id, lang FROM ranked WHERE rn <= {_STRAT_N}")
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified("rate")
+
+
+def q_stratified_fixed_n(sf_dir: str):
+    """Exactly N docs per language, chosen as the N smallest
+    mix64(doc_id^salt) values — a deterministic 'random' stratified
+    sample whose shuffle input is pruned to <=N rows per (lang, block)
+    before the exchange."""
+    from fastdup_ray.stages.sample import stratified_fixed_n
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_fixed_n(docs, n=_STRAT_N, key="doc_id",
+                              group_col="lang", salt=_SAMPLE_SALT)
+
+
+SQL_STRATIFIED_FIXED_N = _sql_stratified("fixed_n")
+
+
 # ------------------------------------------- C4-style span dedup
 _SPAN_W = 13  # window length in tokens (C4 uses 3 sentences; fixed
 # token windows keep the rule exactly SQL-expressible for the oracle)
@@ -2720,6 +2777,8 @@ def queries():
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "span_dedup_spans": q_span_dedup_spans,
         "span_dedup_docs": q_span_dedup_docs,
+        "stratified_sample": q_stratified_sample,
+        "stratified_fixed_n": q_stratified_fixed_n,
     }
 
 
@@ -2779,6 +2838,8 @@ def oracle_sql():
         "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
         "span_dedup_spans": SQL_SPAN_DEDUP_SPANS,
         "span_dedup_docs": SQL_SPAN_DEDUP_DOCS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "stratified_fixed_n": SQL_STRATIFIED_FIXED_N,
         # LSH candidates are probabilistic, but exact-Jaccard verify makes
         # the final labeling equal the exact-shingle oracle at recall 1.0
         # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)

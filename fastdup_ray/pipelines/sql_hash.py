@@ -266,3 +266,24 @@ SQL_SIMHASH_NEAR_DUP_PAIRS = (
   FROM (SELECT DISTINCT * FROM (SELECT * FROM intra UNION ALL SELECT * FROM cross_e))
 """
 )
+
+
+def mix64_ctes(key_expr: str, carry_cols: list[str], src: str,
+               salt: int = 0) -> str:
+    """CTE chain computing `functions.hashing.mix64(key ^ salt)` bit-exactly
+    in DuckDB: mx5 has columns (carry_cols..., h5 UBIGINT). Chained CTEs
+    (one fmix64 step each) keep the generated SQL linear in size instead
+    of exponentiating through nested xorshift/multiply expansion."""
+    carry = ", ".join(carry_cols)
+    h0 = f"xor(CAST({key_expr} AS UBIGINT), CAST('{salt % _TWO64}' AS UBIGINT))"
+    steps = [
+        _xs33("h0"),
+        _mul("h1", f"CAST('{_M1}' AS UBIGINT)"),
+        _xs33("h2"),
+        _mul("h3", f"CAST('{_M2}' AS UBIGINT)"),
+        _xs33("h4"),
+    ]
+    ctes = [f"mx0 AS (SELECT {carry}, {h0} AS h0 FROM {src})"]
+    for i, expr in enumerate(steps, 1):
+        ctes.append(f"mx{i} AS (SELECT {carry}, {expr} AS h{i} FROM mx{i-1})")
+    return ",\n".join(ctes)

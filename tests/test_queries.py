@@ -47,6 +47,8 @@ CHECKED = [
     "hll_distinct_grams",
     "span_dedup_spans",
     "span_dedup_docs",
+    "stratified_sample",
+    "stratified_fixed_n",
 ]
 
 
