@@ -2653,6 +2653,73 @@ def q_stratified_fixed_n(sf_dir: str):
 SQL_STRATIFIED_FIXED_N = _sql_stratified("fixed_n")
 
 
+# --------------------------------------------- pattern redaction
+def q_redacted_events(sf_dir: str):
+    """Pattern redaction with real signal: every digit run in the events
+    props payload rewritten to <NUM>, with the pre-rewrite match count.
+    One vectorized RE2 sweep per rule, no shuffle (stages/redact.py)."""
+    from fastdup_ray.stages.redact import redact
+
+    ev = _t(sf_dir, "events", ["event_id", "props"])
+    return redact(ev, {"num": (r"\d+", "<NUM>")}, column="props",
+                  keep=["event_id"])
+
+
+SQL_REDACTED_EVENTS = r"""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_num,
+       regexp_replace(props, '\d+', '<NUM>', 'g') AS props_redacted
+FROM events
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII preset parity check with guaranteed signal: a contact line is
+    derived deterministically from doc_id on BOTH sides (so no external
+    data), then the email/ipv4/phone rules run in preset order. Oracles
+    the exact rewrite bytes and per-rule counts, i.e. that Arrow's RE2
+    and DuckDB's RE2 agree on every preset pattern."""
+    import pyarrow.compute as _pc
+
+    from fastdup_ray.stages.redact import PII_PATTERNS, RedactStage
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = _pc.binary_join_element_wise(
+            "user", _pc.cast(batch["doc_id"], pa.string()),
+            "@mail.example.com ip 10.",
+            _pc.cast(pa.array(ids % 256), pa.string()), ".0.",
+            _pc.cast(pa.array(ids % 100), pa.string()),
+            " call +1 555 0123", "")
+        return pa.table({"doc_id": batch["doc_id"], "contact": s})
+
+    stage = RedactStage(PII_PATTERNS, column="contact", keep=["doc_id"])
+    return docs.map_batches(derive, batch_format="pyarrow").map_batches(
+        stage, batch_format="pyarrow")
+
+
+def _sql_pii_redact() -> str:
+    from fastdup_ray.stages.redact import PII_PATTERNS, sql_redact_exprs
+
+    redacted, counts = sql_redact_exprs(PII_PATTERNS, "contact")
+    return (
+        "WITH derived AS (\n"
+        "  SELECT doc_id,\n"
+        "         'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.'\n"
+        "           || CAST(doc_id % 256 AS VARCHAR) || '.0.'\n"
+        "           || CAST(doc_id % 100 AS VARCHAR) || ' call +1 555 0123'\n"
+        "           AS contact\n"
+        "  FROM documents)\n"
+        "SELECT doc_id, " + ", ".join(counts) + ", " + redacted
+        + " FROM derived"
+    )
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
 # ------------------------------------------- C4-style span dedup
 _SPAN_W = 13  # window length in tokens (C4 uses 3 sentences; fixed
 # token windows keep the rule exactly SQL-expressible for the oracle)
@@ -2779,6 +2846,8 @@ def queries():
         "span_dedup_docs": q_span_dedup_docs,
         "stratified_sample": q_stratified_sample,
         "stratified_fixed_n": q_stratified_fixed_n,
+        "redacted_events": q_redacted_events,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -2840,6 +2909,8 @@ def oracle_sql():
         "span_dedup_docs": SQL_SPAN_DEDUP_DOCS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "stratified_fixed_n": SQL_STRATIFIED_FIXED_N,
+        "redacted_events": SQL_REDACTED_EVENTS,
+        "pii_redact": SQL_PII_REDACT,
         # LSH candidates are probabilistic, but exact-Jaccard verify makes
         # the final labeling equal the exact-shingle oracle at recall 1.0
         # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)

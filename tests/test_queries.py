@@ -49,6 +49,8 @@ CHECKED = [
     "span_dedup_docs",
     "stratified_sample",
     "stratified_fixed_n",
+    "redacted_events",
+    "pii_redact",
 ]
 
 
