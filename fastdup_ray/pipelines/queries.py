@@ -2653,6 +2653,68 @@ def q_stratified_fixed_n(sf_dir: str):
 SQL_STRATIFIED_FIXED_N = _sql_stratified("fixed_n")
 
 
+# ----------------------------------- deterministic global shuffle
+def q_shuffle_positions(sf_dir: str):
+    """Reproducible corpus-wide shuffle with exact materialized
+    positions: pos = rank under ascending (mix64(doc_id^salt), doc_id).
+    Distributed-rank shape — tiny bucket-count aggregate + prefix
+    offsets + per-bucket local sort; no global sort barrier
+    (stages/shuffle.py). SQL twin: one window row_number over the
+    bit-exact mix64 CTE chain."""
+    from fastdup_ray.stages.shuffle import deterministic_shuffle
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    return deterministic_shuffle(docs, key="doc_id", salt=_SAMPLE_SALT)
+
+
+def _sql_shuffle_positions() -> str:
+    from fastdup_ray.pipelines.sql_hash import mix64_ctes
+
+    ctes = mix64_ctes("doc_id", ["doc_id"], "documents", salt=_SAMPLE_SALT)
+    return (f"WITH {ctes}\n"
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY h5, doc_id) - 1"
+            " AS BIGINT) AS pos FROM mx5")
+
+
+SQL_SHUFFLE_POSITIONS = _sql_shuffle_positions()
+
+
+# ------------------------------------------- corpus vocabulary
+def q_vocab_topk(sf_dir: str, k: int = 50):
+    """Corpus-level token vocabulary, top-k by frequency: map-side
+    value_counts per batch (shuffle input = distinct tokens per block,
+    not token occurrences), groupby-sum, deterministic (cnt desc, token
+    asc) top-k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pc.value_counts(toks.values)
+        return pa.table({
+            "token": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    return (
+        _t(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+"""
+
+
 # --------------------------------------------- pattern redaction
 def q_redacted_events(sf_dir: str):
     """Pattern redaction with real signal: every digit run in the events
@@ -2848,6 +2910,8 @@ def queries():
         "stratified_fixed_n": q_stratified_fixed_n,
         "redacted_events": q_redacted_events,
         "pii_redact": q_pii_redact,
+        "shuffle_positions": q_shuffle_positions,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -2911,6 +2975,8 @@ def oracle_sql():
         "stratified_fixed_n": SQL_STRATIFIED_FIXED_N,
         "redacted_events": SQL_REDACTED_EVENTS,
         "pii_redact": SQL_PII_REDACT,
+        "shuffle_positions": SQL_SHUFFLE_POSITIONS,
+        "vocab_topk": SQL_VOCAB_TOPK,
         # LSH candidates are probabilistic, but exact-Jaccard verify makes
         # the final labeling equal the exact-shingle oracle at recall 1.0
         # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)

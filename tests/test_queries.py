@@ -51,6 +51,8 @@ CHECKED = [
     "stratified_fixed_n",
     "redacted_events",
     "pii_redact",
+    "shuffle_positions",
+    "vocab_topk",
 ]
 
 
