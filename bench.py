@@ -204,6 +204,9 @@ def run_bench() -> dict:
         "word_repetition_stats", "benchmark_contamination",
         "leakage_safe_split", "customers_without_events",
         "ivf_probe_topk", "token_pack_shards", "hll_distinct_grams",
+        # round-3b additions
+        "span_dedup_docs", "stratified_sample", "stratified_fixed_n",
+        "redacted_events", "shuffle_positions", "vocab_topk",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}
