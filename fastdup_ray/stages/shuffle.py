@@ -45,10 +45,23 @@ def deterministic_shuffle(ds, *, key: str = "doc_id", salt: int = 0,
             "_bk", pa.array((h >> shift).astype(np.int64)))
 
     stamped = ds.map_batches(stamp, batch_format="pyarrow")
-    counts = stamped.groupby("_bk").count().take_all()
+
+    # bucket histogram: map-side bincount per block, summed on the driver
+    # (2^bucket_bits ints per block — no shuffle, no aggregator actors)
+    def block_hist(batch: pa.Table) -> pa.Table:
+        bk = batch["_bk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bk": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "h": pa.array(np.bincount(bk, minlength=n_buckets)
+                          .astype(np.int64)),
+        })
+
     sizes = np.zeros(n_buckets, dtype=np.int64)
-    for r in counts:
-        sizes[int(r["_bk"])] = int(r["count()"])
+    for b in stamped.map_batches(
+            block_hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        np.add.at(sizes, b["bk"].to_numpy(zero_copy_only=False),
+                  b["h"].to_numpy(zero_copy_only=False))
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
 
     def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
