@@ -160,26 +160,68 @@ def _rebuild_batch(batch: pa.Table, window: int, kill_by_doc: dict) -> pa.Table:
     })
 
 
-def span_dedup_docs(docs, *, window: int = 13, num_parts: int = 64):
+def span_dedup_docs(docs, *, window: int = 13, num_parts: int = 64,
+                    broadcast_budget: int = _BROADCAST_KILL_BUDGET):
     """documents(doc_id, text) -> (doc_id, text_clean) with every
     non-first occurrence of a duplicated W-token window removed.
 
-    The kill list (small: only duplicated occurrences) is collected and
-    broadcast via `ray.put`; the rebuild is a second map over the
-    documents. Raises if the kill list exceeds the broadcast budget —
-    at that size use the cogroup variant (see module docstring)."""
+    Kill lists up to `broadcast_budget` occurrences are collected once
+    and broadcast via `ray.put`; the rebuild is then a second pure map
+    over the documents. Above the budget the rebuild switches to a
+    cogroup shuffle on doc_id (docs ∪ kills hash-partitioned together,
+    per-partition dict build + the same `_rebuild_batch` kernel) — no
+    driver state of any size, one extra exchange of the doc table."""
     kills = span_kill_list(docs, window=window, num_parts=num_parts)
-    kt = kills.select_columns(["doc_id", "win_idx"]).take_all()
-    if len(kt) > _BROADCAST_KILL_BUDGET:
-        raise NotImplementedError(
-            "kill list exceeds broadcast budget; wire the cogroup-join "
-            "rebuild (relational.ops.cogroup_join on doc_id)")
-    kill_by_doc: dict[int, set] = {}
-    for r in kt:
-        kill_by_doc.setdefault(int(r["doc_id"]), set()).add(int(r["win_idx"]))
-    ref = ray.put(kill_by_doc)
+    kills = kills.select_columns(["doc_id", "win_idx"]).materialize()
+    if kills.count() <= broadcast_budget:
+        kill_by_doc: dict[int, set] = {}
+        for r in kills.take_all():
+            kill_by_doc.setdefault(int(r["doc_id"]), set()).add(
+                int(r["win_idx"]))
+        ref = ray.put(kill_by_doc)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        return _rebuild_batch(batch, window, ray.get(ref))
+        def fn(batch: pa.Table) -> pa.Table:
+            return _rebuild_batch(batch, window, ray.get(ref))
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+        return docs.map_batches(fn, batch_format="pyarrow")
+    return _span_rebuild_cogroup(docs, kills, window=window,
+                                 num_parts=num_parts)
+
+
+def _span_rebuild_cogroup(docs, kills, *, window: int, num_parts: int):
+    """Shuffle-rebuild path: tag and union both sides, hash-partition on
+    doc_id so a document meets exactly its own kill rows, then run the
+    broadcast path's rebuild kernel per partition."""
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "text": batch["text"],
+            "win_idx": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def tag_kills(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "text": pa.nulls(batch.num_rows, pa.string()),
+            "win_idx": batch["win_idx"].cast(pa.int64()),
+        })
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        kills.map_batches(tag_kills, batch_format="pyarrow"))
+
+    def rebuild_part(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["text"].notna()
+        kb: dict[int, set] = {}
+        for d, w in zip(df.loc[~is_doc, "doc_id"].to_numpy(),
+                        df.loc[~is_doc, "win_idx"].to_numpy()):
+            kb.setdefault(int(d), set()).add(int(w))
+        part = df.loc[is_doc, ["doc_id", "text"]]
+        batch = pa.table({
+            "doc_id": pa.array(part["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(part["text"].astype(str)),
+        })
+        return _rebuild_batch(batch, window, kb).to_pandas()
+
+    return partitioned_groupby(both, "doc_id", rebuild_part,
+                               num_parts=num_parts)

@@ -44,6 +44,18 @@ def test_span_dedup_end_to_end(ray_session):
     assert out == {10: "x0 x1 x2 a b", 20: "tail1 tail2", 30: "u v w"}
 
 
+def test_cogroup_rebuild_equals_broadcast(ray_session):
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(8)
+    a = sorted((r["doc_id"], r["text_clean"]) for r in
+               span_dedup_docs(docs, window=13).take_all())
+    # broadcast_budget=0 forces the cogroup shuffle path
+    b = sorted((r["doc_id"], r["text_clean"]) for r in
+               span_dedup_docs(docs, window=13,
+                               broadcast_budget=0).take_all())
+    assert a == b
+
+
 def test_span_dedup_token_conservation(ray_session):
     docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                            columns=["doc_id", "text"])
