@@ -93,7 +93,12 @@ class DedupConfig:
 
     # --- exact-substring stage (fingerprint-based; SURVEY.md G10) ---
     substring_len: int = 256       # minimum shared-run length targeted
-    substring_sample_mod: int = 16 # keep 1/mod of rolling fingerprints (winnowing-style)
+    substring_sample_mod: int = 16 # keep 1/mod of rolling fingerprints (sampled mode)
+    # anchor selection: "sampled" (1/mod density, documented miss prob) or
+    # "winnow" (rightmost-min per (len-window+1)-hash window — ZERO misses
+    # for runs >= substring_len, the suffix-array-exact guarantee at
+    # ~2/(w+1) density; stages/substring.AnchorStage)
+    substring_anchor_mode: str = "sampled"
 
     # --- simhash ---
     simhash_hamming: int = 3       # max hamming distance for simhash near-dup pairs

@@ -624,6 +624,21 @@ FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
 """
 
 
+def q_substring_dup_pairs_winnow(sf_dir: str):
+    """The same exact pair set as `substring_dup_pairs`, produced by the
+    winnowing anchor mode instead of anchor-at-every-byte: rightmost-min
+    selection over (len-window+1)-hash windows guarantees every shared
+    >=128-byte run shares an anchor (zero misses) at ~3% anchor density
+    — the scale-affordable suffix-array-exact path. Hash-matching the
+    SAME DuckDB oracle as the dense query IS the guarantee's
+    end-to-end proof."""
+    from fastdup_ray.stages.substring import substring_pairs
+
+    cfg = DedupConfig(substring_len=128, substring_anchor_mode="winnow")
+    pairs = substring_pairs(_t(sf_dir, "documents", ["doc_id", "text"]), cfg)
+    return pairs.select_columns(["src", "dst"])
+
+
 def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     """Embedding-cosine near-duplicate pairs (exact, blocked all-pairs):
     every (src < dst) vec pair with cosine >= threshold. The embedding
@@ -2912,6 +2927,7 @@ def queries():
         "pii_redact": q_pii_redact,
         "shuffle_positions": q_shuffle_positions,
         "vocab_topk": q_vocab_topk,
+        "substring_dup_pairs_winnow": q_substring_dup_pairs_winnow,
     }
 
 
@@ -2977,6 +2993,7 @@ def oracle_sql():
         "pii_redact": SQL_PII_REDACT,
         "shuffle_positions": SQL_SHUFFLE_POSITIONS,
         "vocab_topk": SQL_VOCAB_TOPK,
+        "substring_dup_pairs_winnow": SQL_SUBSTRING_DUP_PAIRS,
         # LSH candidates are probabilistic, but exact-Jaccard verify makes
         # the final labeling equal the exact-shingle oracle at recall 1.0
         # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)

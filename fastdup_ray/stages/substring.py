@@ -36,11 +36,43 @@ _WINDOW = 64
 
 
 class AnchorStage:
-    """docs batch -> (fp int64, doc_id, offset) sampled anchor rows."""
+    """docs batch -> (fp int64, doc_id, offset) anchor rows.
 
-    def __init__(self, sample_mod: int = 16, window: int = _WINDOW):
+    Two anchor-selection modes over the per-doc Karp-Rabin hash stream:
+
+      * ``sampled`` (default): keep positions with h % mod == 0 —
+        content-defined, density 1/mod, miss probability
+        (1 - 1/mod)^(run_len - window) per shared run (documented).
+      * ``winnow``: keep the rightmost-minimum of every sliding window
+        of ``w = substring_len - window + 1`` consecutive hashes
+        (stages/winnow.winnow_positions — the MOSS selection rule).
+        ZERO-MISS GUARANTEE: a shared byte run of length >=
+        substring_len contains >= w consecutive shared hash positions,
+        i.e. one full winnowing window whose hashes are identical in
+        both documents, so both select the same in-run anchor
+        (Schleimer/Wilkerson/Aiken SIGMOD'03 Lemma 1). Density
+        ~ 2/(w+1) of positions — this is the affordable replacement
+        for the suffix-array's exactness (Lee et al. 2022) at corpus
+        scale, vs. sample_mod=1's anchor-at-every-byte blowup.
+    """
+
+    def __init__(self, sample_mod: int = 16, window: int = _WINDOW,
+                 mode: str = "sampled", substring_len: int = 256):
+        if mode not in ("sampled", "winnow"):
+            raise ValueError(f"unknown anchor mode {mode!r}")
+        if mode == "winnow" and substring_len < window + 1:
+            raise ValueError("winnow mode needs substring_len > window")
         self.mod = np.uint32(sample_mod)
         self.window = window
+        self.mode = mode
+        self.w_winnow = substring_len - window + 1
+
+    def _select(self, h: np.ndarray) -> np.ndarray:
+        if self.mode == "winnow":
+            from fastdup_ray.stages.winnow import winnow_positions
+
+            return winnow_positions(h, self.w_winnow)
+        return np.nonzero(h % self.mod == 0)[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -52,7 +84,7 @@ class AnchorStage:
             h = rolling_shingle_hashes(data, self.window)
             if h.shape[0] == 0:
                 continue
-            sel = np.nonzero(h % self.mod == 0)[0]
+            sel = self._select(h)
             if sel.shape[0] == 0:
                 continue
             fps.append(h[sel].astype(np.int64))
@@ -130,7 +162,10 @@ def substring_pairs(docs, config: DedupConfig | None = None):
             lambda b: b.filter(b["is_valid"]), batch_format="pyarrow"
         )
     anchors = src_docs.map_batches(
-        AnchorStage(cfg.substring_sample_mod), batch_format="pyarrow"
+        AnchorStage(cfg.substring_sample_mod,
+                    mode=cfg.substring_anchor_mode,
+                    substring_len=cfg.substring_len),
+        batch_format="pyarrow",
     )
     cand = partitioned_groupby(
         anchors, "fp", _emit_anchor_pairs(cfg.max_bucket_pairs),

@@ -53,6 +53,7 @@ CHECKED = [
     "pii_redact",
     "shuffle_positions",
     "vocab_topk",
+    "substring_dup_pairs_winnow",
 ]
 
 

@@ -76,3 +76,21 @@ def test_hash_sample_rate_unbiased(ids, rate):
     hh = _keys(batch, "doc_id", 0) % np.uint64(_DENOM)
     got = set(np.asarray(ids)[hh < thr].tolist())
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=80, max_size=600), st.integers(65, 200))
+def test_winnow_anchor_guarantee(data, sub_len):
+    # every sub_len-byte window of any document contains >= 1 winnow
+    # anchor (the zero-miss basis of substring_anchor_mode="winnow")
+    from fastdup_ray.functions.hashing import rolling_shingle_hashes
+    from fastdup_ray.stages.winnow import winnow_positions
+
+    window = 64
+    h = rolling_shingle_hashes(data, window)
+    if h.shape[0] == 0:
+        return
+    w = sub_len - window + 1
+    sel = set(winnow_positions(h, w).tolist())
+    for s in range(0, len(data) - sub_len + 1):
+        assert any(p in sel for p in range(s, s + sub_len - window + 1))
