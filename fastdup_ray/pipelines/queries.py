@@ -2611,6 +2611,31 @@ SQL_WINNOW_DUP_PAIRS = sql_winnow_dup_pairs(
     _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED, _WINNOW_MAX_DF)
 
 
+# ------------------------------------- fixed-context chunking
+_CHUNK_W, _CHUNK_S = 32, 16
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding fixed-context pretraining chunks: 32-token windows every
+    16 tokens (50% overlap). Pure vectorized map — the same window
+    kernel as span dedup with a stride (stages/span_dedup.py)."""
+    from fastdup_ray.stages.span_dedup import chunk_documents
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id, CAST(u.w AS BIGINT) AS chunk_idx,
+       array_to_string(t[u.w*{_CHUNK_S}+1 : u.w*{_CHUNK_S}+{_CHUNK_W}], ' ') AS chunk
+FROM toks, UNNEST(range(CASE WHEN len(t) >= {_CHUNK_W}
+     THEN (len(t) - {_CHUNK_W}) // {_CHUNK_S} + 1 ELSE 0 END)) AS u(w)
+"""
+
+
 # ------------------------------------- deterministic hash sampling
 _SAMPLE_SALT = 20260818
 _SAMPLE_RATES = {"en": 0.35}     # downweight the head language
@@ -2928,6 +2953,7 @@ def queries():
         "shuffle_positions": q_shuffle_positions,
         "vocab_topk": q_vocab_topk,
         "substring_dup_pairs_winnow": q_substring_dup_pairs_winnow,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2994,6 +3020,7 @@ def oracle_sql():
         "shuffle_positions": SQL_SHUFFLE_POSITIONS,
         "vocab_topk": SQL_VOCAB_TOPK,
         "substring_dup_pairs_winnow": SQL_SUBSTRING_DUP_PAIRS,
+        "doc_chunks": SQL_DOC_CHUNKS,
         # LSH candidates are probabilistic, but exact-Jaccard verify makes
         # the final labeling equal the exact-shingle oracle at recall 1.0
         # (asserted in tests; empirically hash-matched at sf0.001/sf0.01)

@@ -55,22 +55,24 @@ from fastdup_ray.relational.ops import partitioned_groupby
 _BROADCAST_KILL_BUDGET = 5_000_000
 
 
-def _windows_of_batch(batch: pa.Table, window: int):
+def _windows_of_batch(batch: pa.Table, window: int, stride: int | None = None):
     """Vectorized window explosion for one Arrow batch.
 
     Returns (doc_ids, win_idx, span_strings) where span_strings is an
-    Arrow string array of the space-joined W-token windows. No per-row
-    Python: tokens come from one `split_pattern`, window membership from
-    numpy arithmetic on the list offsets, window text from one
-    `binary_join` over a re-windowed ListArray.
+    Arrow string array of the space-joined W-token windows taken every
+    `stride` tokens (default: non-overlapping, stride == window). No
+    per-row Python: tokens come from one `split_pattern`, window
+    membership from numpy arithmetic on the list offsets, window text
+    from one `binary_join` over a re-windowed ListArray.
     """
+    stride = window if stride is None else stride
     toks = pc.split_pattern(batch["text"], " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy().astype(np.int64)
     flat = toks.values
     ntok = np.diff(offs)
-    nw = ntok // window
+    nw = np.maximum(ntok - window, -stride) // stride + 1
     total = int(nw.sum())
     if total == 0:
         return (
@@ -80,7 +82,7 @@ def _windows_of_batch(batch: pa.Table, window: int):
         )
     doc_pos = np.repeat(np.arange(len(nw)), nw)
     win_idx = np.arange(total) - np.repeat(np.cumsum(nw) - nw, nw)
-    start = offs[doc_pos] + win_idx * window
+    start = offs[doc_pos] + win_idx * stride
     gather = (start[:, None] + np.arange(window)[None, :]).ravel()
     win_vals = flat.take(pa.array(gather, pa.int64()))
     win_offsets = pa.array(np.arange(total + 1, dtype=np.int64) * window,
@@ -105,6 +107,25 @@ def explode_windows(docs, *, window: int = 13):
             "win_idx": pa.array(win_idx, pa.int64()),
             "span": spans,
             "bucket": pa.array(id63(spans), pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(docs, *, window: int, stride: int | None = None):
+    """Fixed-context training-example chunking: documents(doc_id, text)
+    -> (doc_id, chunk_idx, chunk) of W-token windows every `stride`
+    tokens (overlapping when stride < window — the standard sliding
+    pretraining-context layout). Pure vectorized map, no shuffle; the
+    trailing <W tokens are dropped (standard practice — pad or carry
+    them at the training loader instead)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, win_idx, spans = _windows_of_batch(batch, window, stride)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(win_idx, pa.int64()),
+            "chunk": spans,
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")

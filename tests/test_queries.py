@@ -54,6 +54,7 @@ CHECKED = [
     "shuffle_positions",
     "vocab_topk",
     "substring_dup_pairs_winnow",
+    "doc_chunks",
 ]
 
 
