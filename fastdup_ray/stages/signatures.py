@@ -14,8 +14,10 @@ import numpy as np
 import pyarrow as pa
 
 from fastdup_ray.config import DedupConfig
-from fastdup_ray.functions.minhash import MinHasher, band_buckets
+from fastdup_ray.functions.hashing import segmented_shingle_hashes, to_i63
+from fastdup_ray.functions.minhash import MinHasher, band_buckets, make_signer
 from fastdup_ray.functions.simhash import simhash64
+from fastdup_ray.stages.shingles import sets_from_hashes, sets_from_hashes_all
 
 
 class SignStage:
@@ -30,8 +32,6 @@ class SignStage:
                  emit_shingles: bool | None = None, keep_docs: bool = False):
         cfg = config or DedupConfig()
         self.cfg = cfg
-        from fastdup_ray.functions.minhash import make_signer
-
         self.mh = make_signer(cfg.signer, cfg.shingle_size, cfg.num_perms, cfg.seed)
         # fused mode: also emit the sorted-unique shingle-set column, so
         # the exact-verify stage never re-shingles the corpus (one text
@@ -49,8 +49,6 @@ class SignStage:
         self.keep_docs = keep_docs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from fastdup_ray.functions.hashing import segmented_shingle_hashes
-
         if not self.keep_docs and "is_valid" in batch.column_names:
             batch = batch.filter(batch["is_valid"])
         texts = batch["text"]  # stays an Arrow array end-to-end (zero-copy)
@@ -78,11 +76,7 @@ class SignStage:
         cols["simhash"] = pa.array(sh[keep].view(np.int64), pa.int64())
         cols["n_shingles"] = pa.array(n_shingles[keep], pa.int64())
         if self.emit_shingles:
-            from fastdup_ray.stages.shingles import sets_from_hashes
-
             if self.keep_docs:
-                from fastdup_ray.stages.shingles import sets_from_hashes_all
-
                 cols["shingles"] = sets_from_hashes_all(h, off, len(texts))
             else:
                 keep2, sets = sets_from_hashes(h, off, len(texts))
@@ -119,8 +113,6 @@ class BandStage:
         self.cfg = config or DedupConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from fastdup_ray.functions.hashing import to_i63
-
         ids, sig = signatures_to_matrix(batch)
         bk = band_buckets(sig, self.cfg.num_bands, self.cfg.rows_per_band)  # (n, B)
         n, B = bk.shape

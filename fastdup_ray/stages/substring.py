@@ -31,6 +31,7 @@ import pyarrow as pa
 from fastdup_ray.config import DedupConfig
 from fastdup_ray.functions.hashing import rolling_shingle_hashes
 from fastdup_ray.relational.ops import hash_join, partitioned_groupby
+from fastdup_ray.stages.winnow import winnow_positions
 
 _WINDOW = 64
 
@@ -69,8 +70,6 @@ class AnchorStage:
 
     def _select(self, h: np.ndarray) -> np.ndarray:
         if self.mode == "winnow":
-            from fastdup_ray.stages.winnow import winnow_positions
-
             return winnow_positions(h, self.w_winnow)
         return np.nonzero(h % self.mod == 0)[0]
 

@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from fastdup_ray.config import DedupConfig
+from fastdup_ray.functions.hashing import hash64_segmented
 from fastdup_ray.relational.ops import cogroup_join, with_schema
 from fastdup_ray.stages.shingles import ShingleSetStage, list_column_arrays
 from fastdup_ray.stages.signatures import signatures_to_matrix
@@ -167,8 +168,6 @@ def _build_index_shards(packed, bin_col: str, num_shards: int):
 
     @ray.remote
     def build_shard(*tables):
-        from fastdup_ray.functions.hashing import hash64_segmented
-
         id_parts, len_parts, val_parts, hash_parts = [], [], [], []
         for t in tables:
             if t.num_rows == 0:
