@@ -207,6 +207,7 @@ def run_bench() -> dict:
         # round-3b additions
         "span_dedup_docs", "stratified_sample", "stratified_fixed_n",
         "redacted_events", "shuffle_positions", "vocab_topk",
+        "lm_cross_entropy",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

@@ -4,6 +4,7 @@ user of the reference would run, composed from this engine's stages —
   documents
     -> PII redaction            (stages/redact.py, pure vectorized map)
     -> C4-style span dedup      (stages/span_dedup.py, one span-hash shuffle)
+    -> LM quality gate          (stages/lm.py, corpus-trained bigram model)
     -> per-language rebalancing (stages/sample.py, shuffle-free hash sample)
     -> deterministic shuffle    (stages/shuffle.py, exact global positions)
     -> token-budget shards      (prefix-sum pack over the shuffled order)
@@ -57,16 +58,44 @@ def main() -> None:
                               window=13)
     deduped = deduped.rename_columns({"text_clean": "text"})
 
-    # 3. rebalance: halve the head language, keep the rest
-    from fastdup_ray.relational.ops import hash_join
+    # 3. CCNet-style quality gate: train a bigram LM on the deduped
+    #    corpus itself and drop the worst-scoring decile (highest
+    #    cross-entropy = least like the corpus). The threshold is an
+    #    exact quantile of ONE float column — at web scale swap in a
+    #    sampled quantile; the scoring itself streams either way.
+    from fastdup_ray.stages.lm import lm_cross_entropy
+
+    scores = lm_cross_entropy(deduped.select_columns(["doc_id", "text"]),
+                              vocab_k=256)
+    ce = np.sort(np.concatenate([
+        b["cross_entropy"].to_numpy(zero_copy_only=False)
+        for b in scores.select_columns(["cross_entropy"])
+                       .iter_batches(batch_format="pyarrow")
+    ]))
+    thr = float(np.quantile(ce, 0.9))
+
+    def keep_good(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.less_equal(batch["cross_entropy"], thr)).select(["doc_id"])
+
+    kept_ids = np.concatenate([
+        b["doc_id"].to_numpy(zero_copy_only=False)
+        for b in scores.map_batches(keep_good, batch_format="pyarrow")
+                       .iter_batches(batch_format="pyarrow")
+    ])  # ~90% of doc ids; at web scale use the Bloom-prefiltered semi-join
+    from fastdup_ray.relational.ops import broadcast_semi_join, hash_join
+    deduped = broadcast_semi_join(deduped, "doc_id", kept_ids)
+
+    # 4. rebalance: halve the head language, keep the rest
     rebal = hash_join(deduped, lang, on="doc_id")
     rebal = hash_sample(rebal, key="doc_id", group_col="lang",
                         rates={"en": 0.5}, default_rate=1.0, salt=SALT)
 
-    # 4. deterministic global shuffle with exact positions
+    # 5. deterministic global shuffle with exact positions
     shuffled = deterministic_shuffle(rebal, key="doc_id", salt=SALT)
 
-    # 5. pack into fixed-token-budget shards along the shuffled order:
+    # 6. pack into fixed-token-budget shards along the shuffled order:
     #    shard = floor(exclusive_prefix_tokens(pos) / budget). Positions
     #    are bucket-major (the shuffle assigns them bucket by bucket), so
     #    the global token prefix sum distributes exactly like the

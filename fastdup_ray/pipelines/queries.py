@@ -2755,6 +2755,28 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 50
 """
 
 
+# ------------------------------------- corpus-LM quality scoring
+def q_lm_cross_entropy(sf_dir: str, vocab_k: int = 20):
+    """CCNet-style quality signal: train an add-one-smoothed bigram LM on
+    the corpus (two streaming count passes, map-side combined; vocab
+    capped at `vocab_k` with deterministic cnt-desc/token-asc tie-break,
+    rest -> <unk>) and score every doc's cross-entropy in nats/token.
+    vocab_k=20 keeps <unk> exercised on the testdata vocabulary."""
+    from fastdup_ray.stages.lm import lm_cross_entropy
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return lm_cross_entropy(docs, vocab_k=vocab_k)
+
+
+def _sql_lm_cross_entropy() -> str:
+    from fastdup_ray.stages.lm import sql_lm_cross_entropy
+
+    return sql_lm_cross_entropy(20)
+
+
+SQL_LM_CROSS_ENTROPY = _sql_lm_cross_entropy()
+
+
 # --------------------------------------------- pattern redaction
 def q_redacted_events(sf_dir: str):
     """Pattern redaction with real signal: every digit run in the events
@@ -2952,6 +2974,7 @@ def queries():
         "pii_redact": q_pii_redact,
         "shuffle_positions": q_shuffle_positions,
         "vocab_topk": q_vocab_topk,
+        "lm_cross_entropy": q_lm_cross_entropy,
         "substring_dup_pairs_winnow": q_substring_dup_pairs_winnow,
         "doc_chunks": q_doc_chunks,
     }
@@ -3019,6 +3042,7 @@ def oracle_sql():
         "pii_redact": SQL_PII_REDACT,
         "shuffle_positions": SQL_SHUFFLE_POSITIONS,
         "vocab_topk": SQL_VOCAB_TOPK,
+        "lm_cross_entropy": SQL_LM_CROSS_ENTROPY,
         "substring_dup_pairs_winnow": SQL_SUBSTRING_DUP_PAIRS,
         "doc_chunks": SQL_DOC_CHUNKS,
         # LSH candidates are probabilistic, but exact-Jaccard verify makes

@@ -1,0 +1,224 @@
+"""Corpus-trained bigram language-model scoring (CCNet-style quality
+signal).
+
+CCNet (Wenzek et al. 2020, public) ranks Common-Crawl documents by the
+perplexity of a language model trained on a reference corpus; fastdup's
+analogous signal is the per-image stat table consumed by quality filters
+(reference fastdup/definitions.py:30, galleries.py:1637-1640). Here the
+model is trained ON the corpus itself with the same distributed shape a
+KenLM-backed stage would use:
+
+1. pass 1 — unigram counts: map-side ``value_counts`` per block (shuffle
+   traffic = distinct tokens per block, not occurrences), groupby-sum,
+   then a top-``vocab_k`` (count desc, token asc — deterministic) vocab;
+   everything else maps to ``<unk>``.
+2. pass 2 — bigram counts over the vocab-mapped token stream, again
+   map-side-combined (per-block ``np.unique`` on integer code pairs)
+   before one small groupby-sum. Token codes are fixed by the broadcast
+   vocab so partials agree across blocks.
+3. score — the count tables (bounded by observed bigram types <=
+   (vocab_k+2)^2, in practice far sparser) are ``ray.put`` once and read
+   by every scoring actor in ``__init__``; each doc gets its add-one
+   smoothed cross-entropy  -mean_i ln p(w_i | w_{i-1}),
+   p(w|prev) = (c(prev,w)+1) / (c(prev)+V),  V = vocab_k_kept + 1.
+
+Scale note: the broadcast model is the scale ceiling — at web scale you
+bound it with ``vocab_k`` (the tables never exceed the knob, independent
+of corpus size), exactly how a shipped KenLM binary would be broadcast.
+Both passes stream; nothing data-proportional lands on the driver (the
+vocab and count tables are knob-bounded aggregates).
+
+The SQL twin (``sql_lm_cross_entropy``) reproduces tokenization, vocab
+tie-break, counts and the smoothing formula exactly; the only float ops
+are ``ln`` of identical rational doubles and a mean, so 4-dp rounding on
+both sides hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Sum
+
+_UNK = "<unk>"
+_BOS = "<s>"
+
+
+def _token_regions(batch: pa.Table):
+    """(doc_ids int64[n], offsets int64[n+1] rebased to 0, flat tokens
+    object[n_tok]) for the space-split token stream of a docs batch."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.split_pattern(batch["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = toks.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    return ids, offs, vals.to_numpy(zero_copy_only=False)
+
+
+def train_vocab(docs, vocab_k: int) -> list[str]:
+    """Top-``vocab_k`` tokens by (count desc, token asc) over the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, flat = _token_regions(batch)
+        vc = pc.value_counts(pa.array(flat, pa.string()))
+        return pa.table({
+            "token": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    top = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(vocab_k)
+    )
+    return [r["token"] for r in top.take_all()]
+
+
+def _code_stream(batch: pa.Table, cats: list[str]):
+    """(ids, offs, cur_codes, prev_codes) with codes over cats + BOS.
+
+    cats = vocab + [<unk>]; unseen tokens get the <unk> code; each doc's
+    first position gets the BOS code as its context."""
+    ids, offs, flat = _token_regions(batch)
+    codes = pd.Categorical(flat, categories=cats).codes.astype(np.int64)
+    codes[codes < 0] = len(cats) - 1  # <unk>
+    prev = np.empty_like(codes)
+    if codes.shape[0]:
+        prev[1:] = codes[:-1]
+    prev[offs[:-1]] = len(cats)  # <s>
+    return ids, offs, codes, prev
+
+
+def train_bigram_counts(docs, cats: list[str]) -> pd.DataFrame:
+    """(k, c) table of bigram counts, k = prev_code * ncur + cur_code."""
+    ncur = len(cats)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, codes, prev = _code_stream(batch, cats)
+        uk, uc = np.unique(prev * ncur + codes, return_counts=True)
+        return pa.table({
+            "k": pa.array(uk, pa.int64()),
+            "c": pa.array(uc.astype(np.int64), pa.int64()),
+        })
+
+    big = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    return big.to_pandas()  # bounded by observed bigram types <= (|cats|+1)^2
+
+
+class LMScoreStage:
+    """map_batches actor: docs batch -> (doc_id, n_tokens, cross_entropy).
+
+    Model state (sorted bigram keys + counts, per-context totals, vocab)
+    is fetched from the object store once per actor in ``__init__``."""
+
+    def __init__(self, model_ref):
+        model = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) \
+            else model_ref
+        self.cats = model["cats"]
+        self.keys = model["keys"]       # sorted int64 bigram keys
+        self.c = model["c"]             # counts aligned with keys
+        self.ctx = model["ctx"]         # float64[len(cats)+1] context totals
+        self.V = float(model["V"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "cross_entropy": pa.array([], pa.float64()),
+            })
+        ids, offs, codes, prev = _code_stream(batch, self.cats)
+        key = prev * len(self.cats) + codes
+        c = self.c[np.searchsorted(self.keys, key)]
+        cc = self.ctx[prev]
+        lp = np.log((c + 1.0) / (cc + self.V))
+        sums = np.add.reduceat(lp, offs[:-1])
+        n = np.diff(offs)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "cross_entropy": pa.array(np.round(-(sums / n), 4), pa.float64()),
+        })
+
+
+def lm_cross_entropy(docs, vocab_k: int = 4096, *, concurrency: int = 4):
+    """Train the bigram LM on ``docs`` and score every doc.
+
+    docs: Dataset with (doc_id, text). Returns a Dataset
+    (doc_id, n_tokens, cross_entropy[4dp]); every input row scores
+    (a space-split of any string, even empty, has >= 1 token)."""
+    vocab = train_vocab(docs, vocab_k)
+    if _UNK in vocab:  # corpus text containing the literal sentinel
+        raise ValueError("corpus contains the reserved <unk> token")
+    cats = vocab + [_UNK]
+    big = train_bigram_counts(docs, cats)
+    keys = big["k"].to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    keys, c = keys[order], big["c"].to_numpy().astype(np.int64)[order]
+    ctx = np.zeros(len(cats) + 1, np.float64)
+    np.add.at(ctx, keys // len(cats), c)
+    model = {
+        "cats": cats, "keys": keys, "c": c, "ctx": ctx,
+        "V": len(vocab) + 1,
+    }
+    model_ref = ray.put(model)
+    # autoscaling pool (1, N): a fixed pool of N reserves N CPUs up
+    # front and can starve the upstream read tasks on a small cluster
+    # (observed: 4 actors on a 4-CPU test session stalls the pipeline)
+    return docs.map_batches(
+        LMScoreStage,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+
+
+def sql_lm_cross_entropy(vocab_k: int, doc_table: str = "documents") -> str:
+    """DuckDB twin: same tokenization (split on single spaces), same
+    (cnt desc, token asc) vocab tie-break, same add-one smoothing."""
+    return f"""
+WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {doc_table}),
+tok AS (
+  SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
+  FROM tl, unnest(range(len(toks))) AS r(i)
+),
+uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+vocab AS (SELECT token FROM uni ORDER BY cnt DESC, token LIMIT {vocab_k}),
+vsize AS (SELECT count(*) + 1 AS v FROM vocab),
+mapped AS (
+  SELECT t.doc_id, t.pos,
+         CASE WHEN v.token IS NULL THEN '{_UNK}' ELSE t.token END AS cur
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+),
+seq AS (
+  SELECT doc_id, cur,
+         coalesce(lag(cur) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '{_BOS}') AS prev
+  FROM mapped
+),
+big AS (SELECT prev, cur, count(*) AS c FROM seq GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c) AS cc FROM big GROUP BY prev),
+scored AS (
+  SELECT s.doc_id,
+         ln((b.c + 1.0) / (x.cc + (SELECT v FROM vsize))) AS lp
+  FROM seq s
+  JOIN big b ON s.prev = b.prev AND s.cur = b.cur
+  JOIN ctx x ON s.prev = x.prev
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(-avg(lp), 4) AS cross_entropy
+FROM scored GROUP BY doc_id
+"""

@@ -55,6 +55,7 @@ CHECKED = [
     "vocab_topk",
     "substring_dup_pairs_winnow",
     "doc_chunks",
+    "lm_cross_entropy",
 ]
 
 
