@@ -96,8 +96,11 @@ class DedupConfig:
     substring_sample_mod: int = 16 # keep 1/mod of rolling fingerprints (sampled mode)
     # anchor selection: "sampled" (1/mod density, documented miss prob) or
     # "winnow" (rightmost-min per (len-window+1)-hash window — ZERO misses
-    # for runs >= substring_len, the suffix-array-exact guarantee at
-    # ~2/(w+1) density; stages/substring.AnchorStage)
+    # for runs >= substring_len provided every selected occurrence per doc
+    # per fingerprint is emitted (stages/substring._emit_anchor_pairs
+    # keep_all_occurrences=True); the only truncation left is the
+    # max_bucket_pairs skew cap. ~2/(w+1) density;
+    # stages/substring.AnchorStage)
     substring_anchor_mode: str = "sampled"
 
     # --- simhash ---

@@ -50,7 +50,14 @@ def _int_round(x: np.ndarray) -> np.ndarray:
     return np.floor(x + 0.5).astype(np.int64)
 
 def _t(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    # replace_schema_metadata(None): parquet files written by pandas carry
+    # a nested-dict 'pandas' schema-metadata entry that makes block
+    # schemas unhashable inside Ray's schema dedup ("Failed to hash the
+    # schemas" warnings in shuffle reduce tasks); stripping it here is
+    # zero-copy and fuses into the read stage
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 # ----------------------------------------------------------------- doc stats
@@ -628,10 +635,12 @@ def q_substring_dup_pairs_winnow(sf_dir: str):
     """The same exact pair set as `substring_dup_pairs`, produced by the
     winnowing anchor mode instead of anchor-at-every-byte: rightmost-min
     selection over (len-window+1)-hash windows guarantees every shared
-    >=128-byte run shares an anchor (zero misses) at ~3% anchor density
-    — the scale-affordable suffix-array-exact path. Hash-matching the
-    SAME DuckDB oracle as the dense query IS the guarantee's
-    end-to-end proof."""
+    >=128-byte run shares an anchor (zero misses, because winnow mode
+    emits every selected occurrence per doc per fingerprint — up to the
+    max_bucket_pairs skew cap) at ~3% anchor density — the
+    scale-affordable suffix-array-exact path. Hash-matching the SAME
+    DuckDB oracle as the dense query IS the guarantee's end-to-end
+    proof."""
     from fastdup_ray.stages.substring import substring_pairs
 
     cfg = DedupConfig(substring_len=128, substring_anchor_mode="winnow")
@@ -1675,7 +1684,24 @@ def q_token_pack_shards(sf_dir: str, budget: int = 256):
         df = df.assign(shard_id=(excl // budget).astype(np.int64))
         return df[["doc_id", "source", "n_bpe_tokens", "shard_id"]]
 
-    return partitioned_groupby(counts, "source", pack)
+    out = partitioned_groupby(counts, "source", pack)
+    # normalize the emitted blocks: the sort shuffle inside
+    # partitioned_groupby interleaves zero-row zero-COLUMN blocks
+    # ("RefBundle with a different schema ... new schema: ." warnings)
+    # whose surviving pandas metadata made the driver's value hash
+    # nondeterministic (CORRECTNESS_r03 hash-fail with zero actual value
+    # mismatches). with_schema drops empties and pins exact Arrow types.
+    from fastdup_ray.relational.ops import with_schema
+
+    return with_schema(
+        out,
+        {
+            "doc_id": pa.int64(),
+            "source": pa.string(),
+            "n_bpe_tokens": pa.int64(),
+            "shard_id": pa.int64(),
+        },
+    )
 
 
 SQL_TOKEN_PACK_SHARDS = r"""
@@ -2905,7 +2931,15 @@ SQL_SPAN_DEDUP_DOCS = _SQL_SPAN_CTES + r"""
   FROM toks
 )
 SELECT tr.doc_id,
-       trim(coalesce(a.body,'') || ' ' || coalesce(tr.trailer,'')) AS text_clean
+       -- explicit CASE concat (NOT trim): the separator is inserted only
+       -- when both body and trailer are non-empty, matching the Python
+       -- ' '.join semantics byte-for-byte — trim() would strip leading/
+       -- trailing spaces that the untouched-doc path preserves
+       CASE
+         WHEN a.body IS NULL OR a.body = '' THEN coalesce(tr.trailer,'')
+         WHEN coalesce(tr.trailer,'') = '' THEN a.body
+         ELSE a.body || ' ' || tr.trailer
+       END AS text_clean
 FROM trail tr LEFT JOIN agg a USING (doc_id)
 """.replace("{W}", str(_SPAN_W))
 

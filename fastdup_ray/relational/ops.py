@@ -267,6 +267,10 @@ def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
              (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)]
 
     def add_part(batch: pa.Table) -> pa.Table:
+        # strip parquet-written pandas schema metadata: its nested dict
+        # makes block schemas unhashable in the shuffle's reduce tasks
+        # ("Failed to hash the schemas" per block, defeating schema dedup)
+        batch = batch.replace_schema_metadata(None)
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for i, key in enumerate(keys):

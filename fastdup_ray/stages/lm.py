@@ -141,7 +141,17 @@ class LMScoreStage:
             })
         ids, offs, codes, prev = _code_stream(batch, self.cats)
         key = prev * len(self.cats) + codes
-        c = self.c[np.searchsorted(self.keys, key)]
+        # scored docs need not come from the training corpus: clip the
+        # insertion point and fall back to count 0 for unseen bigrams
+        # (add-one smoothing already handles c=0) instead of reading a
+        # neighbor's count / overrunning the key table
+        if self.keys.shape[0]:
+            idx = np.minimum(
+                np.searchsorted(self.keys, key), self.keys.shape[0] - 1
+            )
+            c = np.where(self.keys[idx] == key, self.c[idx], 0)
+        else:
+            c = np.zeros(key.shape[0], np.int64)
         cc = self.ctx[prev]
         lp = np.log((c + 1.0) / (cc + self.V))
         sums = np.add.reduceat(lp, offs[:-1])
@@ -162,6 +172,12 @@ def lm_cross_entropy(docs, vocab_k: int = 4096, *, concurrency: int = 4):
     vocab = train_vocab(docs, vocab_k)
     if _UNK in vocab:  # corpus text containing the literal sentinel
         raise ValueError("corpus contains the reserved <unk> token")
+    if _BOS in vocab:
+        # a literal '<s>' vocab token would be conflated with the BOS
+        # context by the SQL twin's string-typed lag+coalesce, while the
+        # Ray side assigns BOS a distinct integer code — reject it like
+        # the <unk> sentinel rather than silently diverge
+        raise ValueError("corpus contains the reserved <s> token")
     cats = vocab + [_UNK]
     big = train_bigram_counts(docs, cats)
     keys = big["k"].to_numpy().astype(np.int64)
@@ -174,6 +190,12 @@ def lm_cross_entropy(docs, vocab_k: int = 4096, *, concurrency: int = 4):
         "V": len(vocab) + 1,
     }
     model_ref = ray.put(model)
+    # strip parquet-written pandas schema metadata before the actor pool:
+    # its nested dict makes the block schemas unhashable and defeats
+    # Ray's schema dedup ("Failed to hash the schemas" per block)
+    docs = docs.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
     # autoscaling pool (1, N): a fixed pool of N reserves N CPUs up
     # front and can starve the upstream read tasks on a small cluster
     # (observed: 4 actors on a 4-CPU test session stalls the pipeline)

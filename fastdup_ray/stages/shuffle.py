@@ -44,7 +44,12 @@ def deterministic_shuffle(ds, *, key: str = "doc_id", salt: int = 0,
         return batch.append_column(
             "_bk", pa.array((h >> shift).astype(np.int64)))
 
-    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    # materialize ONCE: `stamped` is consumed twice (driver histogram
+    # pass, then the ranking shuffle) — un-materialized, Ray would
+    # re-execute the whole upstream pipeline for each consumer, and
+    # position correctness would silently depend on both executions
+    # producing identical rows
+    stamped = ds.map_batches(stamp, batch_format="pyarrow").materialize()
 
     # bucket histogram: map-side bincount per block, summed on the driver
     # (2^bucket_bits ints per block — no shuffle, no aggregator actors)

@@ -51,7 +51,12 @@ class AnchorStage:
         substring_len contains >= w consecutive shared hash positions,
         i.e. one full winnowing window whose hashes are identical in
         both documents, so both select the same in-run anchor
-        (Schleimer/Wilkerson/Aiken SIGMOD'03 Lemma 1). Density
+        (Schleimer/Wilkerson/Aiken SIGMOD'03 Lemma 1). For the
+        guarantee to survive pair emission, winnow mode keeps EVERY
+        selected occurrence per doc per fingerprint (see
+        `_emit_anchor_pairs(keep_all_occurrences=True)`) — the only
+        remaining truncation is the `max_bucket_pairs` skew cap on a
+        single fingerprint bucket. Density
         ~ 2/(w+1) of positions — this is the affordable replacement
         for the suffix-array's exactness (Lee et al. 2022) at corpus
         scale, vs. sample_mod=1's anchor-at-every-byte blowup.
@@ -103,7 +108,26 @@ class AnchorStage:
         )
 
 
-def _emit_anchor_pairs(max_bucket: int):
+def _emit_anchor_pairs(max_bucket: int, keep_all_occurrences: bool = False):
+    """Per-fingerprint bucket -> candidate (src, dst, src_off, dst_off) rows.
+
+    ``keep_all_occurrences=False`` (sampled mode): one arbitrary anchor
+    occurrence per doc per fingerprint — cheap, and the sampled mode's
+    guarantee is probabilistic anyway.
+
+    ``keep_all_occurrences=True`` (winnow mode): keep EVERY selected
+    offset per doc per fingerprint and emit all cross-doc occurrence
+    combinations. Required for the zero-miss guarantee: when the
+    winnow-selected 64-gram also occurs outside the shared run in the
+    same doc, an arbitrary single occurrence can be the out-of-run copy,
+    whose verify/extend then measures the wrong site and silently drops
+    the pair. Emitting every combination guarantees the (in-run A,
+    in-run B) combination is among the candidates; the downstream
+    per-(src, dst, diagonal) dedupe collapses the redundant ones. Only
+    the ``max_bucket`` cap (a skew guard on degenerate fingerprints)
+    can truncate — documented as the one exception to zero-miss.
+    """
+
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         multi = df[df.duplicated("fp", keep=False)]
         cols = {"src": [], "dst": [], "src_off": [], "dst_off": []}
@@ -111,20 +135,30 @@ def _emit_anchor_pairs(max_bucket: int):
             return pd.DataFrame({k: np.empty(0, np.int64) for k in cols})
         out_s, out_d, out_so, out_do = [], [], [], []
         for _, g in multi.groupby("fp", sort=False):
-            # one anchor occurrence per doc is enough; cap bucket size
-            g = g.drop_duplicates("doc_id").head(max_bucket)
+            if not keep_all_occurrences:
+                # one anchor occurrence per doc is enough in sampled mode
+                g = g.drop_duplicates("doc_id")
+            # deterministic bucket cap regardless of partition row order
+            g = g.sort_values(["doc_id", "offset"], kind="stable")
+            g = g.head(max_bucket)
             ids = g["doc_id"].to_numpy().astype(np.int64)
             off = g["offset"].to_numpy().astype(np.int64)
             m = ids.shape[0]
             if m < 2:
                 continue
-            order = np.argsort(ids, kind="stable")
-            ids, off = ids[order], off[order]
             iu = np.triu_indices(m, k=1)
-            out_s.append(ids[iu[0]])
-            out_d.append(ids[iu[1]])
-            out_so.append(off[iu[0]])
-            out_do.append(off[iu[1]])
+            s, d = ids[iu[0]], ids[iu[1]]
+            so, do = off[iu[0]], off[iu[1]]
+            cross = s != d  # occurrences within one doc are not a pair
+            if not cross.any():
+                continue
+            s, d, so, do = s[cross], d[cross], so[cross], do[cross]
+            # canonical orientation src < dst, offsets swapped in lockstep
+            swap = s > d
+            out_s.append(np.where(swap, d, s))
+            out_d.append(np.where(swap, s, d))
+            out_so.append(np.where(swap, do, so))
+            out_do.append(np.where(swap, so, do))
         if not out_s:
             return pd.DataFrame({k: np.empty(0, np.int64) for k in cols})
         return pd.DataFrame(
@@ -167,7 +201,11 @@ def substring_pairs(docs, config: DedupConfig | None = None):
         batch_format="pyarrow",
     )
     cand = partitioned_groupby(
-        anchors, "fp", _emit_anchor_pairs(cfg.max_bucket_pairs),
+        anchors, "fp",
+        _emit_anchor_pairs(
+            cfg.max_bucket_pairs,
+            keep_all_occurrences=(cfg.substring_anchor_mode == "winnow"),
+        ),
         num_parts=cfg.num_partitions,
     )
 
