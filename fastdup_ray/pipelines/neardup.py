@@ -121,6 +121,10 @@ class NearDupPipeline:
         )
         self._fs, self._root = _fs_and_path(work_dir)
         self._fs.create_dir(self._root, recursive=True)
+        # in-flight async checkpoint writers (see _stage): joined by
+        # flush_checkpoints() before any run() returns
+        self._ckpt_threads: list = []
+        self._ckpt_errors: list = []
 
     def _hook(self, name: str, ds):
         fn = self.hooks.get(name)
@@ -169,50 +173,89 @@ class NearDupPipeline:
         # store and hand the in-memory dataset downstream — downstream
         # stages start from memory instead of re-reading parquet
         ds = build().materialize()
-        try:
-            self._fs.delete_dir_contents(data_dir, missing_dir_ok=True)
-        except (OSError, TypeError):
-            pass
-        self._fs.create_dir(data_dir, recursive=True)
-        ds.write_parquet(data_dir, filesystem=self._fs)
         wall = time.monotonic() - t0
-        # per-partition lineage: row count + bytes per written file
-        files = []
-        total_rows = 0
-        for fi in sorted(
-            self._fs.get_file_info(pafs.FileSelector(data_dir)),
-            key=lambda i: i.path,
-        ):
-            if fi.type != pafs.FileType.File:
-                continue
-            meta = pq.ParquetFile(self._fs.open_input_file(fi.path)).metadata
-            files.append({"file": fi.base_name, "rows": meta.num_rows,
-                          "bytes": fi.size})
-            total_rows += meta.num_rows
-        manifest = {
-            "stage": name,
-            "fingerprint": fp,
-            "upstream": upstream_fps,
-            "rows": total_rows,
-            "wall_s": round(wall, 3),
-            "data_dir": f"data-{fp}",
-            "files": files,
-            "config": self.cfg.to_dict(),
-        }
-        with self._fs.open_output_stream(man_path) as fh:
-            fh.write(json.dumps(manifest, indent=1).encode())
-        # best-effort cleanup of stale fingerprint dirs from older configs
-        try:
-            for fi in self._fs.get_file_info(pafs.FileSelector(stage_root)):
-                if (
-                    fi.type == pafs.FileType.Directory
-                    and fi.base_name.startswith("data-")
-                    and fi.base_name != f"data-{fp}"
-                ):
-                    self._fs.delete_dir(fi.path)
-        except OSError:
-            pass
+
+        # checkpoint write runs OFF the critical path: the data is
+        # already durable-enough in the object store for this run, so
+        # the Parquet write + manifest commit happen in a background
+        # thread that overlaps the NEXT stage's compute. The commit
+        # protocol is unchanged (data dir fully written before the
+        # manifest marker), and flush_checkpoints() — called before any
+        # run() returns — re-raises failures, so a returned result
+        # always has durable, committed checkpoints. On a real cluster
+        # this overlaps S3 upload with compute; resume semantics are
+        # identical because a crash mid-write leaves no manifest.
+        def write_checkpoint():
+            t_w = time.monotonic()
+            try:
+                self._fs.delete_dir_contents(data_dir, missing_dir_ok=True)
+            except (OSError, TypeError):
+                pass
+            self._fs.create_dir(data_dir, recursive=True)
+            ds.write_parquet(data_dir, filesystem=self._fs)
+            # per-partition lineage: row count + bytes per written file
+            files = []
+            total_rows = 0
+            for fi in sorted(
+                self._fs.get_file_info(pafs.FileSelector(data_dir)),
+                key=lambda i: i.path,
+            ):
+                if fi.type != pafs.FileType.File:
+                    continue
+                meta = pq.ParquetFile(self._fs.open_input_file(fi.path)).metadata
+                files.append({"file": fi.base_name, "rows": meta.num_rows,
+                              "bytes": fi.size})
+                total_rows += meta.num_rows
+            manifest = {
+                "stage": name,
+                "fingerprint": fp,
+                "upstream": upstream_fps,
+                "rows": total_rows,
+                "wall_s": round(wall, 3),
+                "write_s": round(time.monotonic() - t_w, 3),
+                "data_dir": f"data-{fp}",
+                "files": files,
+                "config": self.cfg.to_dict(),
+            }
+            with self._fs.open_output_stream(man_path) as fh:
+                fh.write(json.dumps(manifest, indent=1).encode())
+            # best-effort cleanup of stale fingerprint dirs from older configs
+            try:
+                for fi in self._fs.get_file_info(pafs.FileSelector(stage_root)):
+                    if (
+                        fi.type == pafs.FileType.Directory
+                        and fi.base_name.startswith("data-")
+                        and fi.base_name != f"data-{fp}"
+                    ):
+                        self._fs.delete_dir(fi.path)
+            except OSError:
+                pass
+
+        def runner():
+            try:
+                write_checkpoint()
+            except BaseException as exc:  # noqa: BLE001 — re-raised at flush
+                self._ckpt_errors.append((name, exc))
+
+        import threading
+
+        th = threading.Thread(
+            target=runner, name=f"ckpt-{name}", daemon=True
+        )
+        th.start()
+        self._ckpt_threads.append(th)
         return ds, fp
+
+    def flush_checkpoints(self) -> None:
+        """Join every in-flight checkpoint writer; raise the first
+        failure. Called before run()/run_incremental() return, so a
+        returned result always has committed checkpoints on disk."""
+        while self._ckpt_threads:
+            self._ckpt_threads.pop().join()
+        if self._ckpt_errors:
+            name, exc = self._ckpt_errors[0]
+            self._ckpt_errors.clear()
+            raise RuntimeError(f"checkpoint write failed for stage {name!r}") from exc
 
     @classmethod
     def load_result(cls, work_dir: str) -> "NearDupResult":
@@ -414,6 +457,7 @@ class NearDupPipeline:
         )
 
         pairs_all = pairs_n.union(base._pairs)
+        self.flush_checkpoints()
         return NearDupResult(self, docs_all, sigs_all, pairs_all, scores_all, comps)
 
     def _run_fused(self, pages, input_token: str, resume: bool) -> "NearDupResult":
@@ -513,6 +557,7 @@ class NearDupPipeline:
             resume=resume,
         )
 
+        self.flush_checkpoints()
         return NearDupResult(self, docs, sigs, pairs, scores, comps)
 
 

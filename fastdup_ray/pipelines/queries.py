@@ -705,15 +705,47 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
-def q_doc_embeddings(sf_dir: str, dim: int = 32):
-    """M9 embedding-encoder analog (rows-only: hash-projection defined):
-    encode every document's text into a dim-wide embedding via the
-    actor-pool TextEmbedStage (encoder state once per actor)."""
+def q_doc_embeddings(sf_dir: str, dim: int = 32, seed: int = 42):
+    """M9 embedding-encoder analog, fully SQL-oracled: encode every
+    document via the actor-pool TextEmbedStage with the hash_sign
+    (Rademacher mix64) projection — every entry of the weight matrix is
+    reproducible in DuckDB, so the WHOLE encoder (FNV-1a 3-gram buckets,
+    L2 normalize, projection) value-hash-matches its twin. Output is
+    exploded to (doc_id, j, val[4dp]) scalar rows (driver-friendly; one
+    row per embedding coordinate). The Gaussian default stays the
+    library's production weights; hash_sign is an equally valid JL
+    projection (Achlioptas 2003)."""
     from fastdup_ray.stages.embed import embed_documents
 
-    return embed_documents(
-        _t(sf_dir, "documents", ["doc_id", "text"]), dim=dim, concurrency=4
+    emb = embed_documents(
+        _t(sf_dir, "documents", ["doc_id", "text"]), dim=dim, seed=seed,
+        concurrency=4, weights="hash_sign",
     )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), dim)
+        # + 0.0 normalizes IEEE -0.0 (matches the SQL twin's `+ 0.0`)
+        vals = np.round(m.reshape(-1), 4) + 0.0
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, dim), pa.int64()),
+            "j": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(ids))),
+            "val": pa.array(vals, pa.float64()),
+        })
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
+def _sql_doc_embeddings() -> str:
+    from fastdup_ray.pipelines.sql_hash import sql_doc_embeddings
+
+    return sql_doc_embeddings(32, 42)
+
+
+SQL_DOC_EMBEDDINGS = _sql_doc_embeddings()
 
 
 def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
@@ -3016,6 +3048,7 @@ def queries():
 
 def oracle_sql():
     return {
+        "doc_embeddings": SQL_DOC_EMBEDDINGS,
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "domain_pair_summary": SQL_DOMAIN_PAIR_SUMMARY,
         "top_docs_per_source": SQL_TOP_DOCS_PER_SOURCE,

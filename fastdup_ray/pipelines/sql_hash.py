@@ -268,6 +268,69 @@ SQL_SIMHASH_NEAR_DUP_PAIRS = (
 )
 
 
+def sql_doc_embeddings(dim: int, seed: int,
+                       doc_table: str = "documents") -> str:
+    """Twin of stages/embed.TextEmbedStage(weights="hash_sign"), exploded
+    to (doc_id, j, val) scalar rows: FNV-1a over every char-3-gram
+    (h ^= byte; h *= prime, three interleaved steps — NOT the polynomial
+    hash the other gram twins use) -> bucket = h % 2^16 -> per-doc bucket
+    counts L2-normalized -> dot with the Rademacher +-1 matrix whose
+    entry (b, j) is the low bit of mix64((b*dim + j) ^ seed). The only
+    float ops are sqrt / divide / sum of identical rational doubles, so
+    4-dp rounding hash-matches; `+ 0.0` normalizes IEEE -0.0 on both
+    sides. Docs shorter than 3 chars embed to zeros. ASCII-only like the
+    other byte-level twins (chars == utf-8 bytes on the test tables)."""
+    buckets = 1 << 16
+    fnv = "WITH " + f"""
+  fdd AS (SELECT doc_id, text, length(text) AS n FROM {doc_table}),
+  fpos AS (
+    SELECT doc_id, text, r.i AS p
+    FROM fdd, unnest(range(n - 2)) AS r(i) WHERE n >= 3
+  ),
+  fbyt AS (
+    SELECT doc_id, p,
+           CAST(ord(substring(text, CAST(p AS INTEGER) + 1, 1)) AS UBIGINT) AS b0,
+           CAST(ord(substring(text, CAST(p AS INTEGER) + 2, 1)) AS UBIGINT) AS b1,
+           CAST(ord(substring(text, CAST(p AS INTEGER) + 3, 1)) AS UBIGINT) AS b2
+    FROM fpos
+  ),
+  fh1 AS (SELECT doc_id, p, b1, b2,
+          {_mul(f"xor(CAST('{_FNV}' AS UBIGINT), b0)", f"CAST('{_B}' AS UBIGINT)")} AS h
+          FROM fbyt),
+  fh2 AS (SELECT doc_id, p, b2,
+          {_mul("xor(h, b1)", f"CAST('{_B}' AS UBIGINT)")} AS h FROM fh1),
+  fh3 AS (SELECT doc_id, p,
+          {_mul("xor(h, b2)", f"CAST('{_B}' AS UBIGINT)")} AS h FROM fh2),
+  fcnt AS (
+    SELECT doc_id, CAST(h % {buckets} AS BIGINT) AS bucket,
+           COUNT(*) AS c
+    FROM fh3 GROUP BY doc_id, bucket
+  ),
+  fnrm AS (
+    SELECT doc_id, sqrt(SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE))) AS nrm
+    FROM fcnt GROUP BY doc_id
+  ),
+  sb AS (SELECT DISTINCT bucket FROM fcnt),
+  sbj AS (SELECT bucket, CAST(r.j AS BIGINT) AS j
+          FROM sb, unnest(range({dim})) AS r(j)),
+  {mix64_ctes(f"bucket * {dim} + j", ["bucket", "j"], "sbj", salt=seed)},
+  sgn AS (SELECT bucket, j,
+          CASE WHEN h5 % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+          FROM mx5),
+  femb AS (
+    SELECT f.doc_id, s.j,
+           SUM((CAST(f.c AS DOUBLE) / n.nrm) * s.s) AS v
+    FROM fcnt f JOIN fnrm n USING (doc_id)
+    JOIN sgn s ON s.bucket = f.bucket
+    GROUP BY f.doc_id, s.j
+  ),
+  alljd AS (SELECT d.doc_id, CAST(r.j AS BIGINT) AS j
+            FROM {doc_table} d, unnest(range({dim})) AS r(j))
+SELECT a.doc_id, a.j, ROUND(COALESCE(e.v, 0.0), 4) + 0.0 AS val
+FROM alljd a LEFT JOIN femb e ON e.doc_id = a.doc_id AND e.j = a.j"""
+    return fnv
+
+
 def mix64_ctes(key_expr: str, carry_cols: list[str], src: str,
                salt: int = 0) -> str:
     """CTE chain computing `functions.hashing.mix64(key ^ salt)` bit-exactly

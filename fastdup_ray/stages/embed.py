@@ -32,17 +32,35 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 # process, keyed by config — every stage in the same process (embed,
 # zero-shot, search ingest) shares ONE copy of the 32 MB projection
 # instead of re-deriving it per actor instance.
-_PROJECTION_CACHE: dict[tuple[int, int], np.ndarray] = {}
+_PROJECTION_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def get_projection(dim: int, seed: int) -> np.ndarray:
-    """(buckets, dim) Gaussian projection for (dim, seed), memoized
-    per process."""
-    key = (dim, seed)
+def get_projection(dim: int, seed: int, weights: str = "gaussian") -> np.ndarray:
+    """(buckets, dim) projection for (dim, seed), memoized per process.
+
+    weights="gaussian": PCG64 standard normal (default).
+    weights="hash_sign": Rademacher +-1 entries from the low bit of
+    mix64((bucket*dim + j) ^ seed) — an equally valid JL/random
+    projection (Achlioptas 2003) whose every entry is bit-exactly
+    reproducible in SQL via the same fmix64 CTE chain that pins
+    shuffle_positions / hll_distinct_grams, making the whole encoder
+    DuckDB-oracle-able (sql_hash.sql_doc_embeddings)."""
+    key = (weights, dim, seed)
     proj = _PROJECTION_CACHE.get(key)
     if proj is None:
-        rng = np.random.default_rng(seed)
-        proj = rng.standard_normal((_BUCKETS, dim)).astype(np.float64)
+        if weights == "gaussian":
+            rng = np.random.default_rng(seed)
+            proj = rng.standard_normal((_BUCKETS, dim)).astype(np.float64)
+        elif weights == "hash_sign":
+            from fastdup_ray.functions.hashing import mix64
+
+            idx = np.arange(_BUCKETS * dim, dtype=np.uint64)
+            h = mix64(idx ^ np.uint64(seed))
+            proj = np.where(
+                (h & np.uint64(1)).astype(bool), 1.0, -1.0
+            ).reshape(_BUCKETS, dim)
+        else:
+            raise ValueError(f"unknown weights mode {weights!r}")
         _PROJECTION_CACHE[key] = proj
     return proj
 
@@ -57,13 +75,14 @@ class TextEmbedStage:
     """
 
     def __init__(self, dim: int = 64, seed: int = 42, *,
-                 text_col: str = "text", keep_text: bool = False):
+                 text_col: str = "text", keep_text: bool = False,
+                 weights: str = "gaussian"):
         self.dim = dim
         self.text_col = text_col
         self.keep_text = keep_text
-        # (buckets, dim) Gaussian projection — the "model weights",
+        # (buckets, dim) projection — the "model weights",
         # shared per process via the T4 cache
-        self.proj = get_projection(dim, seed)
+        self.proj = get_projection(dim, seed, weights)
 
     def _encode(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), np.float64)
@@ -99,13 +118,19 @@ class TextEmbedStage:
 
 
 def embed_documents(docs, *, dim: int = 64, seed: int = 42,
-                    concurrency: int = 8, batch_size: int = 1024):
+                    concurrency: int = 8, batch_size: int = 1024,
+                    weights: str = "gaussian"):
     """docs (doc_id, text, ...) -> (doc_id, ..., embedding) via an
-    actor pool (the M9 analog: encoder state lives once per actor)."""
+    actor pool (the M9 analog: encoder state lives once per actor).
+
+    concurrency is the pool CEILING — passed as (1, N): a fixed pool of
+    N reserves N CPUs up front and deadlock-starves the upstream read
+    when N >= the cluster's CPU count (observed: 4 actors on a 4-CPU
+    test session hangs the pipeline)."""
     return docs.map_batches(
         TextEmbedStage,
-        fn_constructor_kwargs={"dim": dim, "seed": seed},
+        fn_constructor_kwargs={"dim": dim, "seed": seed, "weights": weights},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
     )

@@ -56,6 +56,7 @@ CHECKED = [
     "substring_dup_pairs_winnow",
     "doc_chunks",
     "lm_cross_entropy",
+    "doc_embeddings",
 ]
 
 
