@@ -45,18 +45,15 @@ def normalize_urls(arr) -> pa.Array:
     path = path.str.replace(r"(.)/$", r"\1", regex=True)
     query = hp["query"].fillna("")
 
-    def clean_query(q: str) -> str:
-        if not q:
-            return ""
-        kept = [
-            kv for kv in q.split("&")
-            if kv and not kv.lower().startswith(
-                ("utm_", "fbclid", "gclid", "msclkid", "ref=")
-            )
-        ]
-        return "&".join(kept)
-
-    query = query.map(clean_query)
+    # drop tracking params + empty kv pieces, fully vectorized: pad with
+    # '&' sentinels, consume each tracking kv together with its LEFT
+    # separator (right separator stays via lookahead so consecutive
+    # tracking params all match), then collapse empties and strip pads
+    track = r"(?:utm_|fbclid|gclid|msclkid|ref=)"
+    query = ("&" + query + "&").str.replace(
+        rf"(?i)&{track}[^&]*(?=&)", "", regex=True
+    )
+    query = query.str.replace(r"&{2,}", "&", regex=True).str.strip("&")
     out = scheme + host + path
     out = out.where(query == "", out + "?" + query)
     return pa.array(out.tolist(), pa.string())

@@ -25,6 +25,7 @@ corpus itself never flows through this module.
 from __future__ import annotations
 
 import json
+import os
 import xml.etree.ElementTree as ET
 
 import pyarrow as pa
@@ -153,3 +154,90 @@ def export_cvat(annotations, xml_path: str) -> None:
             )
     ET.ElementTree(root).write(xml_path, encoding="unicode",
                                xml_declaration=True)
+
+
+def export_labelimg(annotations, out_dir: str) -> list[str]:
+    """Annotation table/Dataset -> one Pascal-VOC-style labelImg XML per
+    url (K8, the analog of reference label_img.py image_to_label_img_xml:
+    <annotation><folder><filename><size><object><name><bndbox>). Spans
+    map to xmin/xmax, row_y/height to ymin/ymax; one <object> per
+    annotation row (the reference emits one whole-image box per file —
+    here a url can carry several spans, so each becomes an object).
+
+    Returns the written file paths (sorted by url)."""
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = _collect(annotations)
+    by_url: dict[str, list[dict]] = {}
+    for r in tbl.to_pylist():
+        by_url.setdefault(r["url"], []).append(r)
+    paths = []
+    for url in sorted(by_url):
+        rows = by_url[url]
+        root = ET.Element("annotation")
+        ET.SubElement(root, "folder").text = str(rows[0].get("folder") or "unknown")
+        ET.SubElement(root, "filename").text = url
+        ET.SubElement(root, "path").text = url
+        src = ET.SubElement(root, "source")
+        ET.SubElement(src, "database").text = "Unknown"
+        size = ET.SubElement(root, "size")
+        width = max(int(r["span_start"]) + int(r["span_len"]) for r in rows)
+        height = max(int(r.get("row_y") or 0) + int(r.get("height") or 0)
+                     for r in rows)
+        ET.SubElement(size, "width").text = str(width)
+        ET.SubElement(size, "height").text = str(height)
+        ET.SubElement(size, "depth").text = "1"
+        ET.SubElement(root, "segmented").text = "0"
+        for r in rows:
+            obj = ET.SubElement(root, "object")
+            ET.SubElement(obj, "name").text = str(r["label"])
+            ET.SubElement(obj, "pose").text = "Unspecified"
+            ET.SubElement(obj, "truncated").text = "0"
+            ET.SubElement(obj, "difficult").text = "0"
+            box = ET.SubElement(obj, "bndbox")
+            x = int(r["span_start"])
+            y = int(r.get("row_y") or 0)
+            ET.SubElement(box, "xmin").text = str(x)
+            ET.SubElement(box, "ymin").text = str(y)
+            ET.SubElement(box, "xmax").text = str(x + int(r["span_len"]))
+            ET.SubElement(box, "ymax").text = str(y + int(r.get("height") or 0))
+        # file name: stable digest of the url (urls aren't path-safe)
+        import hashlib
+
+        stem = hashlib.sha1(url.encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"{stem}.xml")
+        ET.ElementTree(root).write(path, encoding="unicode",
+                                   xml_declaration=True)
+        paths.append(path)
+    return paths
+
+
+def read_labelimg(xml_dir: str):
+    """labelImg/Pascal-VOC XML directory -> annotation Dataset with the
+    same columns export_labelimg consumed (url, label, span_start,
+    span_len, row_y, height) — the roundtrip reader."""
+    import ray.data as rd
+
+    urls, labels, xs, ws, ys, hs = [], [], [], [], [], []
+    for name in sorted(os.listdir(xml_dir)):
+        if not name.endswith(".xml"):
+            continue
+        root = ET.parse(os.path.join(xml_dir, name)).getroot()
+        url = root.findtext("filename")
+        for obj in root.iter("object"):
+            box = obj.find("bndbox")
+            xmin = int(box.findtext("xmin"))
+            ymin = int(box.findtext("ymin"))
+            urls.append(url)
+            labels.append(obj.findtext("name"))
+            xs.append(xmin)
+            ws.append(int(box.findtext("xmax")) - xmin)
+            ys.append(ymin)
+            hs.append(int(box.findtext("ymax")) - ymin)
+    return rd.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "label": pa.array(labels, pa.string()),
+        "span_start": pa.array(xs, pa.int64()),
+        "span_len": pa.array(ws, pa.int64()),
+        "row_y": pa.array(ys, pa.int64()),
+        "height": pa.array(hs, pa.int64()),
+    }))
