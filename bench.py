@@ -292,9 +292,101 @@ def run_scaling() -> None:
     }))
 
 
+def _quiet_box_gate(k: int = 3, probe_max: float = 0.5,
+                    load_max: float = 4.0, interval_s: float = 5.0,
+                    max_wait_s: float = 1800.0) -> bool:
+    """The measurement gate BASELINE.md's round-3 addendum specified:
+    K CONSECUTIVE clean memcpy probes AND a quiet box (1-min loadavg
+    under `load_max` — no overlapping dev jobs) before a paired cycle
+    may start. Returns False if the window never opens in max_wait_s."""
+    deadline = time.monotonic() + max_wait_s
+    streak = 0
+    while time.monotonic() < deadline:
+        load1 = os.getloadavg()[0]
+        p = host_probe()
+        if p < probe_max and load1 < load_max:
+            streak += 1
+            if streak >= k:
+                return True
+        else:
+            streak = 0
+            print(f"[gate] probe={p:.2f}s load1={load1:.1f} — waiting",
+                  file=sys.stderr)
+        time.sleep(interval_s)
+    return False
+
+
+def run_scaling_series() -> None:
+    """>= N clean paired 8-vs-32 cycles, each behind the consecutive-
+    clean-probe + quiet-box gate; a cycle only counts as clean when BOTH
+    reps' entry, exit and every mid-run probe are healthy. Prints one
+    JSON line with the per-cycle table and the clean-cycle median
+    efficiency (the north-rule scaling criterion)."""
+    lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
+    target_clean = int(os.environ.get("BENCH_SERIES_CLEAN", "6"))
+    max_cycles = int(os.environ.get("BENCH_SERIES_MAX", "14"))
+    probe_max = float(os.environ.get("BENCH_PROBE_MAX", "0.5"))
+    cycles = []
+    clean = 0
+    for c in range(max_cycles):
+        if clean >= target_clean:
+            break
+        if not _quiet_box_gate(probe_max=probe_max):
+            print(f"[series] gate never opened for cycle {c}", file=sys.stderr)
+            continue
+        reps = {}
+        for ncpu in (lo, hi):
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "400"),
+                BENCH_SKIP_QUERIES="1", BENCH_HOST_WAIT_S="60",
+                **({} if os.environ.get("BENCH_SCALING_CHECKPOINT")
+                   else {"BENCH_NO_CHECKPOINT": "1"}),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            reps[ncpu] = json.loads(out.strip().splitlines()[-1])
+            time.sleep(5)
+        probes = [
+            reps[n][k] for n in (lo, hi)
+            for k in ("host_probe_s", "host_probe_exit_s", "host_probe_max_mid_s")
+        ]
+        is_clean = all(p <= probe_max for p in probes)
+        t_lo, t_hi = reps[lo]["value"], reps[hi]["value"]
+        eff = round((t_lo / t_hi) / (hi / lo), 3)
+        cycles.append({
+            "cycle": c, "t_lo": t_lo, "t_hi": t_hi, "eff": eff,
+            "clean": is_clean, "probes": [round(p, 3) for p in probes],
+            "stage_walls_lo": reps[lo].get("stage_walls"),
+            "stage_walls_hi": reps[hi].get("stage_walls"),
+        })
+        clean += is_clean
+        print(f"[series] cycle {c}: t{lo}={t_lo} t{hi}={t_hi} eff={eff} "
+              f"clean={is_clean} ({clean}/{target_clean})", file=sys.stderr)
+    clean_effs = sorted(cc["eff"] for cc in cycles if cc["clean"])
+    med = (clean_effs[len(clean_effs) // 2]
+           if len(clean_effs) % 2 else
+           (clean_effs[len(clean_effs) // 2 - 1]
+            + clean_effs[len(clean_effs) // 2]) / 2) if clean_effs else None
+    print(json.dumps({
+        "metric": "scaling_series",
+        "value": med,
+        "unit": "median clean-cycle efficiency",
+        "lo": lo, "hi": hi,
+        "clean_cycles": len(clean_effs),
+        "clean_effs": clean_effs,
+        "cycles": cycles,
+    }))
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    if "--scaling" in sys.argv:
+    if "--scaling-series" in sys.argv:
+        run_scaling_series()
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         result = run_bench()

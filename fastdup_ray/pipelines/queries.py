@@ -1465,27 +1465,20 @@ def q_outliers(sf_dir: str):
         scored.map_batches(sym, batch_format="pyarrow"), "node", best_row
     ).materialize()
 
-    # exact quantile of the best-distance distribution (chars_p90 pattern:
-    # distinct-value counts to the driver, never a full sort)
-    dist = combine_aggregate(
-        best,
-        "distance",
-        lambda df: df.groupby("distance", as_index=False, sort=False).agg(
-            c=("distance", "size")
-        ),
-    ).take_all()
+    # bounded-driver quantile of the best-distance distribution: exact
+    # distinct-value counts under the budget (6dp-rounded Jaccard =>
+    # <= 1e6 distinct, so the oracle-matched exact path always runs at
+    # catalog scales), fixed-grid histogram with a documented tolerance
+    # above it (A7 contract; tests/test_round4.py pins the grid path)
+    from fastdup_ray.relational.ops import distinct_value_quantile
+
+    thr, _diag = distinct_value_quantile(
+        best, "distance", 0.05, distinct_budget=1_000_000, grid=(0.0, 1.0)
+    )
     low_rows = rd.from_arrow(
         pa.table({k: pa.array([], t) for k, t in out_schema.items()})
     )
-    if dist:
-        dist.sort(key=lambda r: r["distance"])
-        total = sum(r["c"] for r in dist)
-        cum, thr = 0, dist[-1]["distance"]
-        for r in dist:
-            cum += r["c"]
-            if cum / total >= 0.05:
-                thr = r["distance"]
-                break
+    if thr is not None:
         low_rows = best.map_batches(
             lambda b: b.filter(pc.less_equal(b["distance"], pa.scalar(thr))),
             batch_format="pyarrow",

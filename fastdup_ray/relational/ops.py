@@ -237,6 +237,101 @@ def combine_aggregate(ds, keys, partial_fn, merge_fn=None, *, fan: int = 8):
     return rd.from_arrow_refs(refs)
 
 
+def distinct_value_quantile(ds, col: str, q: float, *,
+                            distinct_budget: int = 1_000_000,
+                            grid: tuple[float, float] | None = None,
+                            fan: int = 8):
+    """Bounded-driver-memory quantile of `ds[col]` (A7 contract,
+    SURVEY §2.7): threshold = the smallest value v such that
+    fraction(rows <= v) >= q.
+
+    Two-phase, never more than `distinct_budget` rows on the driver:
+
+    1. Cheap distributed upper bound on the distinct count (sum of
+       per-block distinct counts — no shuffle, one scalar per block).
+    2. Under the budget: EXACT — distributed distinct-value counts
+       (map-side combine + task tree-reduce), cumulative scan on the
+       driver over <= budget rows. Over it: fixed-grid histogram with
+       `distinct_budget` bins over `grid=(lo, hi)` (default: distributed
+       min/max); the threshold is the INCLUSIVE UPPER EDGE of the bin
+       where the cumulative fraction crosses q, so `filter(col <= thr)`
+       never under-selects; it over-selects by at most the mass of one
+       bin — documented tolerance (hi - lo) / distinct_budget on the
+       threshold value.
+
+    Returns (threshold, diag) where diag = {"mode": "exact"|"grid",
+    "rows_collected": n} — rows_collected is the driver-side
+    materialization, asserted <= distinct_budget in tests.
+    """
+    import numpy as np
+
+    def _distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nd": [df[col].nunique()]})
+
+    def _sum_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nd": [int(df["nd"].sum())]})
+
+    nd_rows = combine_aggregate(
+        ds.select_columns([col]), [], _distinct_partial,
+        merge_fn=_sum_merge, fan=fan,
+    ).take_all()
+    nd_upper = int(nd_rows[0]["nd"]) if nd_rows else 0
+    if nd_upper == 0:
+        return None, {"mode": "exact", "rows_collected": 0}
+
+    if nd_upper <= distinct_budget:
+        dist = combine_aggregate(
+            ds,
+            col,
+            lambda df: df.groupby(col, as_index=False, sort=False).agg(
+                c=(col, "size")
+            ),
+            fan=fan,
+        ).take_all()
+        dist.sort(key=lambda r: r[col])
+        total = sum(r["c"] for r in dist)
+        cum = 0
+        thr = dist[-1][col]
+        for r in dist:
+            cum += r["c"]
+            if cum / total >= q:
+                thr = r[col]
+                break
+        return thr, {"mode": "exact", "rows_collected": len(dist)}
+
+    if grid is None:
+        grid = (ds.min(col), ds.max(col))
+    lo, hi = float(grid[0]), float(grid[1])
+    if hi <= lo:
+        return lo, {"mode": "grid", "rows_collected": 1}
+    nbins = distinct_budget
+    width = (hi - lo) / nbins
+
+    def _bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(
+            np.floor((df[col].to_numpy(np.float64) - lo) / width),
+            0, nbins - 1,
+        ).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": u, "c": c})
+
+    hist = combine_aggregate(
+        ds.select_columns([col]), "bin", _bin_partial, fan=fan
+    ).take_all()
+    hist.sort(key=lambda r: r["bin"])
+    total = sum(r["c"] for r in hist)
+    cum = 0
+    thr_bin = hist[-1]["bin"]
+    for r in hist:
+        cum += r["c"]
+        if cum / total >= q:
+            thr_bin = r["bin"]
+            break
+    # inclusive upper edge; cap at hi so float round-up can't exceed max
+    thr = min(lo + (thr_bin + 1) * width, hi)
+    return thr, {"mode": "grid", "rows_collected": len(hist)}
+
+
 def partitioned_groupby(ds, keys, apply_fn, *, num_parts: int = 64,
                         prune_empty: bool = False, batch_format: str = "pandas"):
     """High-cardinality groupby: hash-partition by `keys`, then run ONE

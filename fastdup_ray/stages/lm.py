@@ -42,7 +42,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Sum
 
 _UNK = "<unk>"
 _BOS = "<s>"
@@ -72,14 +71,27 @@ def train_vocab(docs, vocab_k: int) -> list[str]:
             "cnt": vc.field("counts").cast(pa.int64()),
         })
 
-    top = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .sort(["cnt", "token"], descending=[True, False])
-        .limit(vocab_k)
-    )
-    return [r["token"] for r in top.take_all()]
+    # hash-partition by token + per-partition (sum, top-k): every token's
+    # rows land in exactly one partition, so the global top-k is a subset
+    # of the union of per-partition top-ks — the driver merges <= P*k
+    # pre-aggregated rows and takes the exact top-k with the same
+    # (count desc, token asc) tie-break. Replaces groupby().aggregate()
+    # + global sort + limit (three shuffles with seconds of fixed actor
+    # overhead each) with ONE partition exchange.
+    from fastdup_ray.relational.ops import partitioned_groupby
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False, sort=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(vocab_k)
+
+    cand = partitioned_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "token", part_topk, num_parts=16,
+    ).take_all()
+    cand.sort(key=lambda r: (-r["cnt"], r["token"]))
+    return [r["token"] for r in cand[:vocab_k]]
 
 
 def _code_stream(batch: pa.Table, cats: list[str]):
@@ -109,10 +121,13 @@ def train_bigram_counts(docs, cats: list[str]) -> pd.DataFrame:
             "c": pa.array(uc.astype(np.int64), pa.int64()),
         })
 
-    big = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Sum("c", alias_name="c"))
+    from fastdup_ray.relational.ops import partitioned_groupby
+
+    big = partitioned_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "k",
+        lambda df: df.groupby("k", as_index=False, sort=False)["c"].sum(),
+        num_parts=16,
     )
     return big.to_pandas()  # bounded by observed bigram types <= (|cats|+1)^2
 
