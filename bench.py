@@ -208,6 +208,19 @@ def run_bench() -> dict:
         "span_dedup_docs", "stratified_sample", "stratified_fixed_n",
         "redacted_events", "shuffle_positions", "vocab_topk",
         "lm_cross_entropy",
+        # round-4: the full remaining catalog (everything but the
+        # O(sum df^2) ngram oracle query, which exists for the sf0.01
+        # correctness gate, and the quadratic-oracle embedding_dup_pairs
+        # whose scale path embedding_lsh_pairs is benched above)
+        "domain_pair_summary", "top_docs_per_source", "stats_filtered_dups",
+        "component_majority_label", "majority_keep", "url_components",
+        "knn_lists", "kmeans_assign", "kmeans_topk",
+        "simhash_near_dup_pairs", "substring_dup_pairs", "doc_embeddings",
+        "dup_size_histogram", "recent_events", "ann_ivf_topk",
+        "text_quality", "sessionize", "label_score",
+        "hierarchical_components", "lang_confusion", "bpe_token_counts",
+        "zero_shot_labels", "winnow_fingerprints", "span_dedup_spans",
+        "pii_redact", "substring_dup_pairs_winnow", "doc_chunks",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

@@ -2598,33 +2598,54 @@ WHERE len(regexp_extract_all(d.text, p.pat)) > 0
 """
 
 
+_ZS_LABELS = ["query_engine", "streaming", "customer_data"]
+_ZS_PROTOS = [
+    "query scan join filter sort merge table key hash agg",
+    "stream window batch line order",
+    "customer value data row part",
+]
+_ZS_DIM, _ZS_SEED = 32, 42
+
+
 def q_zero_shot_labels(sf_dir: str):
-    """M8 zero-shot enrichment (rows-only: embedding-model-defined,
-    pytest-oracled on a planted fixture): cosine of each doc's hashed
-    n-gram embedding against label-prototype embeddings built once per
-    actor."""
+    """M8 zero-shot enrichment, fully SQL-oracled: cosine of each doc's
+    hash_sign hashed-trigram embedding against label-prototype embeddings
+    built once per actor. The twin (sql_hash.sql_zero_shot) reproduces
+    the document side of the encoder in DuckDB and inlines the constant
+    unit-norm prototype matrix; 4-dp rounding, first-label argmax
+    tie-break on both sides."""
     from fastdup_ray.stages.enrich import zero_shot_enrich
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     out = zero_shot_enrich(
-        docs,
-        labels=["query_engine", "streaming", "customer_data"],
-        prototypes=[
-            "query scan join filter sort merge table key hash agg",
-            "stream window batch line order",
-            "customer value data row part",
-        ],
+        docs, labels=_ZS_LABELS, prototypes=_ZS_PROTOS,
+        dim=_ZS_DIM, seed=_ZS_SEED, weights="hash_sign",
         concurrency=4,
     )
 
     def fin(batch: pa.Table) -> pa.Table:
+        # + 0.0 normalizes IEEE -0.0 (matches the SQL twin)
+        score = pc.add(pc.round(batch["zs_score"], ndigits=4), 0.0)
         return pa.table({
             "doc_id": batch["doc_id"],
             "zs_label": batch["zs_label"],
-            "zs_score": pc.round(batch["zs_score"], ndigits=5),
+            "zs_score": score,
         })
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_zero_shot_labels() -> str:
+    from fastdup_ray.pipelines.sql_hash import sql_zero_shot
+    from fastdup_ray.stages.enrich import ZeroShotLabelStage
+
+    stage = ZeroShotLabelStage(
+        _ZS_LABELS, _ZS_PROTOS, dim=_ZS_DIM, seed=_ZS_SEED,
+        weights="hash_sign")
+    return sql_zero_shot(_ZS_LABELS, stage.P.tolist(), _ZS_DIM, _ZS_SEED)
+
+
+SQL_ZERO_SHOT_LABELS = _sql_zero_shot_labels()
 
 
 # ------------------------------------------------- winnowing (MOSS)
@@ -3112,5 +3133,8 @@ def oracle_sql():
         # same argument one level up: exact verify makes level-2 equal the
         # exact-Jaccard clustering at LSH recall 1.0 (verified both scales)
         "hierarchical_components": SQL_HIERARCHICAL_COMPONENTS,
-        # zero_shot_labels: embedding-model-defined -> rows-only
+        # doc side of the encoder reproduced in SQL; constant unit-norm
+        # prototype matrix inlined as VALUES (ann_ivf_topk stays the one
+        # rows-only query: seeded-Lloyd trainer)
+        "zero_shot_labels": SQL_ZERO_SHOT_LABELS,
     }

@@ -280,8 +280,21 @@ def sql_doc_embeddings(dim: int, seed: int,
     4-dp rounding hash-matches; `+ 0.0` normalizes IEEE -0.0 on both
     sides. Docs shorter than 3 chars embed to zeros. ASCII-only like the
     other byte-level twins (chars == utf-8 bytes on the test tables)."""
+    fnv = "WITH " + _fnv_embed_chain(dim, seed, doc_table) + f""",
+  alljd AS (SELECT d.doc_id, CAST(r.j AS BIGINT) AS j
+            FROM {doc_table} d, unnest(range({dim})) AS r(j))
+SELECT a.doc_id, a.j, ROUND(COALESCE(e.v, 0.0), 4) + 0.0 AS val
+FROM alljd a LEFT JOIN femb e ON e.doc_id = a.doc_id AND e.j = a.j"""
+    return fnv
+
+
+def _fnv_embed_chain(dim: int, seed: int, doc_table: str) -> str:
+    """Shared CTE chain for the hash_sign text encoder twins: `femb` ends
+    with (doc_id, j, v) — the UNROUNDED projection of each document's
+    L2-normalized FNV-1a char-3-gram bucket counts onto the Rademacher
+    matrix. Used by sql_doc_embeddings and sql_zero_shot."""
     buckets = 1 << 16
-    fnv = "WITH " + f"""
+    return f"""
   fdd AS (SELECT doc_id, text, length(text) AS n FROM {doc_table}),
   fpos AS (
     SELECT doc_id, text, r.i AS p
@@ -323,12 +336,47 @@ def sql_doc_embeddings(dim: int, seed: int,
     FROM fcnt f JOIN fnrm n USING (doc_id)
     JOIN sgn s ON s.bucket = f.bucket
     GROUP BY f.doc_id, s.j
+  )"""
+
+
+def sql_zero_shot(labels: list[str], protos_normed, dim: int, seed: int,
+                  doc_table: str = "documents") -> str:
+    """Twin of stages/enrich.ZeroShotLabelStage(weights="hash_sign"):
+    document embeddings via the shared `femb` chain, unit-normalized
+    (GREATEST(norm, 1e-12) mirrors the stage's np.maximum guard), then
+    cosine against the UNIT-NORM prototype matrix inlined as VALUES
+    constants (repr() round-trips each double exactly). Best label =
+    max score, first-label tie-break (numpy argmax). Docs too short to
+    embed (n < 3 chars) score 0.0 with the first label, exactly like
+    the stage's zero-vector rows."""
+    rows = ",\n        ".join(
+        f"({li}, '{labels[li]}', {j}, {v!r})"
+        for li in range(len(labels))
+        for j, v in enumerate(protos_normed[li])
+    )
+    return "WITH " + _fnv_embed_chain(dim, seed, doc_table) + f""",
+  dnrm AS (SELECT doc_id, GREATEST(sqrt(SUM(v * v)), 1e-12) AS nv
+           FROM femb GROUP BY doc_id),
+  evec AS (SELECT f.doc_id, f.j, f.v / n.nv AS e
+           FROM femb f JOIN dnrm n USING (doc_id)),
+  proto(lidx, label, j, p) AS (VALUES
+        {rows}),
+  scores AS (
+    SELECT e.doc_id, p.lidx, p.label, SUM(e.e * p.p) AS s
+    FROM evec e JOIN proto p ON p.j = e.j
+    GROUP BY e.doc_id, p.lidx, p.label
   ),
-  alljd AS (SELECT d.doc_id, CAST(r.j AS BIGINT) AS j
-            FROM {doc_table} d, unnest(range({dim})) AS r(j))
-SELECT a.doc_id, a.j, ROUND(COALESCE(e.v, 0.0), 4) + 0.0 AS val
-FROM alljd a LEFT JOIN femb e ON e.doc_id = a.doc_id AND e.j = a.j"""
-    return fnv
+  best AS (
+    SELECT doc_id, label, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, lidx ASC) AS rn
+    FROM scores
+  )
+SELECT d.doc_id,
+       COALESCE(b.label, '{labels[0]}') AS zs_label,
+       ROUND(COALESCE(b.s, 0.0), 4) + 0.0 AS zs_score
+FROM {doc_table} d
+LEFT JOIN (SELECT doc_id, label, s FROM best WHERE rn = 1) b USING (doc_id)"""
 
 
 def mix64_ctes(key_expr: str, carry_cols: list[str], src: str,

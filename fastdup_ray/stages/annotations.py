@@ -41,12 +41,16 @@ def expand_annotations(docs, annotations, *, num_partitions: int = 32):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        has_doc = df["doc_id"].notna()
-        has_annot = df[annot_cols[0]].notna() if annot_cols else has_doc
-        err = np.where(
-            has_doc & ~has_annot, ERR_MISSING_ANNOTATION,
-            np.where(~has_doc, ERR_MISSING_DOC, ""),
+        import pyarrow.compute as pc
+
+        has_doc = pc.is_valid(batch["doc_id"])
+        has_annot = (pc.is_valid(batch[annot_cols[0]])
+                     if annot_cols else has_doc)
+        err = pc.if_else(
+            pc.and_(has_doc, pc.invert(has_annot)),
+            pa.scalar(ERR_MISSING_ANNOTATION),
+            pc.if_else(pc.invert(has_doc), pa.scalar(ERR_MISSING_DOC),
+                       pa.scalar("")),
         )
         # annotation-only rows must keep the annotation's own url so
         # MISSING_DOC rows identify which annotation is dangling
@@ -54,17 +58,17 @@ def expand_annotations(docs, annotations, *, num_partitions: int = 32):
         # fastdup_controller.py:1110-1224). Ray's outer join coalesces
         # the join key into the left name; fall back to a_url if a
         # join path ever surfaces it separately.
-        url = df["url"]
-        if "a_url" in df.columns:
-            url = url.where(url.notna(), df["a_url"])
-        out = {
-            "url": url.astype(str),
-            "doc_id": df["doc_id"].fillna(-1).astype(np.int64),
-            "annot_error": err.astype(str),
+        url = batch["url"]
+        if "a_url" in batch.column_names:
+            url = pc.coalesce(url, batch["a_url"])
+        cols = {
+            "url": pc.cast(url, pa.string()),
+            "doc_id": pc.cast(pc.fill_null(batch["doc_id"], -1), pa.int64()),
+            "annot_error": err,
         }
         for c in annot_cols:
-            out[c] = df[c].astype(object).where(df[c].notna(), None)
-        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return joined.map_batches(finish, batch_format="pyarrow")
 

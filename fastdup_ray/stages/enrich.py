@@ -92,14 +92,16 @@ class ZeroShotLabelStage:
     `embed.get_projection`, the T4 cache analog)."""
 
     def __init__(self, labels: list[str], prototypes: list[str] | None = None,
-                 *, dim: int = 64, seed: int = 42, text_col: str = "text"):
+                 *, dim: int = 64, seed: int = 42, text_col: str = "text",
+                 weights: str = "gaussian"):
         if prototypes is None:
             prototypes = list(labels)
         if len(prototypes) != len(labels):
             raise ValueError("need one prototype text per label")
         self.labels = np.asarray(list(labels), dtype=object)
         self.text_col = text_col
-        self.enc = TextEmbedStage(dim=dim, seed=seed, text_col=text_col)
+        self.enc = TextEmbedStage(dim=dim, seed=seed, text_col=text_col,
+                                  weights=weights)
         P = self.enc._encode([str(p) for p in prototypes])
         P /= np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
         self.P = P  # (L, dim), rows unit-norm
@@ -119,6 +121,7 @@ class ZeroShotLabelStage:
 def zero_shot_enrich(docs, labels: list[str],
                      prototypes: list[str] | None = None, *,
                      dim: int = 64, seed: int = 42, text_col: str = "text",
+                     weights: str = "gaussian",
                      concurrency: int = 4, batch_size: int = 1024):
     """docs (doc_id, text, ...) -> (+ zs_label, zs_score) via an actor
     pool (prototype matrix built once per actor)."""
@@ -127,6 +130,7 @@ def zero_shot_enrich(docs, labels: list[str],
         fn_constructor_kwargs={
             "labels": labels, "prototypes": prototypes,
             "dim": dim, "seed": seed, "text_col": text_col,
+            "weights": weights,
         },
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size,

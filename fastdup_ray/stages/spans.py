@@ -212,17 +212,21 @@ def join_crops(docs, crops, *, num_partitions: int = 32):
         num_partitions=num_partitions,
     )
 
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "url": df["url"].astype(str),
-            "crop_id": df["crop_id"].fillna(-1).astype(np.int64),
-            "det_label": df["det_label"].astype(object).fillna("").astype(str),
-            "crop_text": df["crop_text"].astype(object).fillna("").astype(str),
-        })
-        return out
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return joined.map_batches(fill, batch_format="pandas")
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "url": pc.cast(batch["url"], pa.string()),
+            "crop_id": pc.cast(pc.fill_null(batch["crop_id"], -1),
+                               pa.int64()),
+            "det_label": pc.fill_null(
+                pc.cast(batch["det_label"], pa.string()), ""),
+            "crop_text": pc.fill_null(
+                pc.cast(batch["crop_text"], pa.string()), ""),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def two_phase_neardup(docs, patterns: dict[str, str], pipe, *,

@@ -57,6 +57,28 @@ CHECKED = [
     "doc_chunks",
     "lm_cross_entropy",
     "doc_embeddings",
+    # round-4: every remaining oracled query (heavyweights
+    # ngram_jaccard_pairs / minhash_components keep their own dedicated
+    # recall test below)
+    "benchmark_contamination",
+    "bpe_token_counts",
+    "customers_without_events",
+    "doc_captions",
+    "dup_size_histogram",
+    "embedding_dup_pairs",
+    "embedding_lsh_pairs",
+    "entity_span_counts",
+    "hierarchical_components",
+    "label_score",
+    "last_order_before_event",
+    "leakage_safe_split",
+    "outliers",
+    "recent_events",
+    "sessionize",
+    "winnow_dup_pairs",
+    "winnow_fingerprints",
+    "word_repetition_stats",
+    "zero_shot_labels",
 ]
 
 
