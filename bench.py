@@ -163,15 +163,9 @@ def run_bench() -> dict:
     # mid-run sample are healthy
     probe_exit = host_probe()
     probe_max_mid = round(max((p for _, p in samples), default=0.0), 3)
-    # per-stage walls from the checkpoint manifests (reporting only)
-    stage_walls = {}
-    for stage in ("docs", "signatures", "docsig", "shingles", "pairs",
-                  "pair_scores", "components"):
-        try:
-            man = json.load(open(os.path.join(work_dir, stage, "manifest.json")))
-            stage_walls[stage] = man.get("wall_s")
-        except (OSError, json.JSONDecodeError):
-            pass
+    # per-stage compute walls, recorded in-memory by the pipeline (works
+    # in no-checkpoint mode too — the scaling series needs them)
+    stage_walls = dict(pipe.stage_walls)
 
     # ---- query suite (skip the O(sum df^2) ngram oracle query at bench
     # scale; it exists for the sf0.01 correctness gate) ----

@@ -125,6 +125,10 @@ class NearDupPipeline:
         # flush_checkpoints() before any run() returns
         self._ckpt_threads: list = []
         self._ckpt_errors: list = []
+        # compute wall per executed stage (seconds), recorded whether or
+        # not the stage checkpoints — the scaling series runs in
+        # no-checkpoint mode and still needs per-stage scaling evidence
+        self.stage_walls: dict[str, float] = {}
 
     def _hook(self, name: str, ds):
         fn = self.hooks.get(name)
@@ -151,7 +155,10 @@ class NearDupPipeline:
             # checkpoint opt-out: materialize once (multi-consumer safe,
             # object-store-resident) but skip the Parquet write + manifest
             # — not resumable, no stage IO (VERDICT r1 #7 follow-up)
-            return build().materialize(), fp
+            t0 = time.monotonic()
+            ds = build().materialize()
+            self.stage_walls[name] = round(time.monotonic() - t0, 3)
+            return ds, fp
         stage_root = f"{self._root}/{name}"
         man_path = f"{stage_root}/manifest.json"
         data_dir = f"{stage_root}/data-{fp}"
@@ -174,6 +181,7 @@ class NearDupPipeline:
         # stages start from memory instead of re-reading parquet
         ds = build().materialize()
         wall = time.monotonic() - t0
+        self.stage_walls[name] = round(wall, 3)
 
         # checkpoint write runs OFF the critical path: the data is
         # already durable-enough in the object store for this run, so

@@ -74,7 +74,10 @@ def caption_documents(docs, *, text_col: str = "text", max_chars: int = 160,
     return docs.map_batches(
         CaptionStage,
         fn_constructor_kwargs={"text_col": text_col, "max_chars": max_chars},
-        batch_format="pyarrow", concurrency=concurrency,
+        # (1, N): autoscaling pool. A FIXED pool of N deadlocks when N
+        # equals the cluster CPU count (actors hold every CPU, the
+        # upstream read task starves) — same fix as embed.embed_documents
+        batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size,
     )
 
@@ -132,6 +135,6 @@ def zero_shot_enrich(docs, labels: list[str],
             "dim": dim, "seed": seed, "text_col": text_col,
             "weights": weights,
         },
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size,
     )

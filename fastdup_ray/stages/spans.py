@@ -122,7 +122,9 @@ def detect_spans(docs, patterns: dict[str, str], *, text_col: str = "text",
             "patterns": patterns, "text_col": text_col,
             "max_spans_per_doc": max_spans_per_doc,
         },
-        batch_format="pyarrow", concurrency=concurrency,
+        # (1, N) autoscaling pool: fixed pools deadlock when N == cluster
+        # CPUs (actors starve the upstream read) — cf. embed_documents
+        batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size,
     )
 
@@ -138,7 +140,7 @@ def count_spans(docs, patterns: dict[str, str], *, text_col: str = "text",
             "patterns": patterns, "text_col": text_col,
             "max_spans_per_doc": max_spans_per_doc, "counts_only": True,
         },
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size,
     )
 
