@@ -1736,10 +1736,12 @@ WITH counts AS (
   FROM documents
 )
 SELECT doc_id, source, n_bpe_tokens,
-       COALESCE(SUM(n_bpe_tokens) OVER (
+       -- CAST: SUM() OVER returns HUGEINT, which lands as float64 in
+       -- pandas and hash-mismatches the Ray side's int64 ("3.0" vs "3")
+       CAST(COALESCE(SUM(n_bpe_tokens) OVER (
          PARTITION BY source ORDER BY doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-       ), 0) // 256 AS shard_id
+       ), 0) // 256 AS BIGINT) AS shard_id
 FROM counts
 """
 
