@@ -122,6 +122,13 @@ class DedupConfig:
     # distributed round costs a join + two shuffles of fixed latency.
     # Above the threshold (the 10^12-doc regime) the iterative path runs.
     cc_driver_max_edges: int = 5_000_000
+    # distributed CC algorithm above the driver threshold: "label" =
+    # iterative min-label propagation (O(diameter) rounds — fine for
+    # LSH-emitted clique/star graphs), "star" = alternating large/small
+    # star contraction (Kiveris et al. 2014; O(log^2 n) rounds regardless
+    # of diameter — the escape hatch for boilerplate mega-components
+    # chained through overlapping buckets)
+    cc_algorithm: str = "label"
     # which stages write Parquet checkpoints + manifests. None = all (the
     # default: every stage resumable, the north-rule posture). A tuple
     # (e.g. ("docs", "pair_scores", "components")) skips the write for the

@@ -94,3 +94,73 @@ def test_distinct_value_quantile_bounded(ray_session):
     ).count()
     assert sel / n >= q
     assert sel / n <= q + 2 * tol
+
+
+def _edges_table(pairs):
+    src, dst = zip(*pairs) if pairs else ((), ())
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ).repartition(4)
+
+
+def test_star_contraction_matches_union_find(ray_session):
+    """connected_components_star == driver union-find on random graphs
+    (several densities/seeds), including duplicate and reversed edges."""
+    from fastdup_ray.stages.components import (
+        connected_components_star, union_find_oracle)
+
+    for seed, n, m in [(0, 50, 40), (1, 200, 150), (2, 300, 600)]:
+        rng = np.random.default_rng(seed)
+        ids = rng.choice(10_000_000, size=n, replace=False).astype(np.int64)
+        pairs = [(int(ids[rng.integers(n)]), int(ids[rng.integers(n)]))
+                 for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        pairs += [(b, a) for a, b in pairs[: m // 4]]  # reversed dups
+        expect = union_find_oracle(pairs)
+        got = connected_components_star(_edges_table(pairs)).to_pandas()
+        got_map = dict(zip(got["node"], got["label"]))
+        assert got_map == expect, f"seed={seed}"
+
+
+def test_star_contraction_log_rounds_on_path_graph(ray_session):
+    """The scale property that motivates star contraction: a path graph
+    of diameter n-1 (the worst case for min-label propagation, which
+    needs O(n) rounds) converges in O(log n) alternating rounds."""
+    from fastdup_ray.stages.components import (
+        connected_components_star, union_find_oracle)
+
+    n = 2048
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(np.arange(1, 10 * n, 5))[:n].astype(np.int64)
+    pairs = [(int(ids[i]), int(ids[i + 1])) for i in range(n - 1)]
+    stats = {}
+    got = connected_components_star(
+        _edges_table(pairs), DedupConfig(num_partitions=8), stats=stats
+    ).to_pandas()
+    expect = union_find_oracle(pairs)
+    assert dict(zip(got["node"], got["label"])) == expect
+    # one component; all labels = global min
+    assert set(got["label"]) == {min(min(p) for p in pairs)}
+    # log2(2048) = 11; alternating star contraction halves star depth
+    # per round — allow a small constant on top
+    assert stats["rounds"] <= 18, stats
+
+
+def test_cc_algorithm_dispatch_and_empty(ray_session):
+    """cc_algorithm='star' routes connected_components through star
+    contraction above the driver threshold; empty edge sets are fine."""
+    from fastdup_ray.stages.components import (
+        connected_components, connected_components_star, union_find_oracle)
+
+    pairs = [(1, 2), (2, 3), (10, 11), (5, 1)]
+    cfg = DedupConfig(cc_algorithm="star", cc_driver_max_edges=0,
+                      num_partitions=4)
+    got = connected_components(_edges_table(pairs), cfg).to_pandas()
+    assert dict(zip(got["node"], got["label"])) == union_find_oracle(pairs)
+
+    empty = connected_components_star(_edges_table([]))
+    # NB: Dataset.to_pandas() drops columns on zero-row blocks, so
+    # assert on the Dataset schema (the library surface)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema().base_schema] == ["node", "label"]
