@@ -33,6 +33,7 @@ import json
 import os
 import shutil
 import time
+import warnings
 
 import numpy as np
 import pyarrow as pa
@@ -105,8 +106,6 @@ class NearDupPipeline:
             # the default token is just the hook NAMES, so editing a hook's
             # behavior without renaming it would let resume serve stale
             # checkpoints — make that the loud path, not the silent one
-            import warnings
-
             warnings.warn(
                 "NearDupPipeline(hooks=...) without hooks_token: resume "
                 "fingerprints only cover the hook NAMES. If you change a "
@@ -174,6 +173,10 @@ class NearDupPipeline:
                 and self._fs.get_file_info(data_dir).type
                 == pafs.FileType.Directory
             ):
+                # resume hit: report the wall the original build recorded
+                # so bench/stats consumers see a complete per-stage table
+                if man.get("wall_s") is not None:
+                    self.stage_walls[name] = man["wall_s"]
                 return rd.read_parquet(data_dir, filesystem=self._fs), fp
         t0 = time.monotonic()
         # materialize first, then write the checkpoint FROM the object
@@ -265,6 +268,28 @@ class NearDupPipeline:
             self._ckpt_errors.clear()
             raise RuntimeError(f"checkpoint write failed for stage {name!r}") from exc
 
+    def _settle_checkpoints(self) -> None:
+        """Entry barrier for run()/run_incremental(): if a PREVIOUS run
+        aborted mid-pipeline (stage exception, KeyboardInterrupt), its
+        async checkpoint writers may still be in flight — a new run's
+        resume-miss rebuild of the same stage would otherwise race two
+        writers on one data_dir (interleaved delete/write -> a committed
+        manifest over a mixed file set). Join them first, and drop their
+        errors with a warning: those stages never committed a manifest,
+        so this run rebuilds them regardless."""
+        while self._ckpt_threads:
+            self._ckpt_threads.pop().join()
+        if self._ckpt_errors:
+            names = sorted({n for n, _ in self._ckpt_errors})
+            self._ckpt_errors.clear()
+            warnings.warn(
+                "discarding checkpoint-write failures from a previous "
+                f"aborted run (stages {names}); the stages were never "
+                "committed and will be rebuilt",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     @classmethod
     def load_result(cls, work_dir: str) -> "NearDupResult":
         """Restore a finished run from its checkpointed work_dir without
@@ -319,6 +344,7 @@ class NearDupPipeline:
         is given).
         """
         cfg = self.cfg
+        self._settle_checkpoints()
         if pages is None:
             if pages_path is None:
                 raise ValueError("pass pages or pages_path")
@@ -393,6 +419,7 @@ class NearDupPipeline:
         different base could otherwise serve stale checkpoints).
         """
         cfg = self.cfg
+        self._settle_checkpoints()
         if base_token is None:
             resume = False
             base_token = "unversioned-base"

@@ -2647,7 +2647,9 @@ def _sql_zero_shot_labels() -> str:
     return sql_zero_shot(_ZS_LABELS, stage.P.tolist(), _ZS_DIM, _ZS_SEED)
 
 
-SQL_ZERO_SHOT_LABELS = _sql_zero_shot_labels()
+# built lazily inside oracle_sql(): constructing the stage materializes
+# (and permanently caches) a ~16 MB hash_sign projection — that cost
+# belongs to oracle users, not to every process importing this module
 
 
 # ------------------------------------------------- winnowing (MOSS)
@@ -3138,5 +3140,5 @@ def oracle_sql():
         # doc side of the encoder reproduced in SQL; constant unit-norm
         # prototype matrix inlined as VALUES (ann_ivf_topk stays the one
         # rows-only query: seeded-Lloyd trainer)
-        "zero_shot_labels": SQL_ZERO_SHOT_LABELS,
+        "zero_shot_labels": _sql_zero_shot_labels(),
     }

@@ -265,6 +265,12 @@ def distinct_value_quantile(ds, col: str, q: float, *,
     """
     import numpy as np
 
+    # project + materialize ONCE: the phases below make 2-3 passes, and a
+    # lazy input would re-execute its whole upstream per pass (and a
+    # nondeterministic upstream would hand different rows to the mode
+    # decision vs the histogram)
+    ds = ds.select_columns([col]).materialize()
+
     def _distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"nd": [df[col].nunique()]})
 
@@ -272,8 +278,7 @@ def distinct_value_quantile(ds, col: str, q: float, *,
         return pd.DataFrame({"nd": [int(df["nd"].sum())]})
 
     nd_rows = combine_aggregate(
-        ds.select_columns([col]), [], _distinct_partial,
-        merge_fn=_sum_merge, fan=fan,
+        ds, [], _distinct_partial, merge_fn=_sum_merge, fan=fan,
     ).take_all()
     nd_upper = int(nd_rows[0]["nd"]) if nd_rows else 0
     if nd_upper == 0:
@@ -300,7 +305,10 @@ def distinct_value_quantile(ds, col: str, q: float, *,
         return thr, {"mode": "exact", "rows_collected": len(dist)}
 
     if grid is None:
-        grid = (ds.min(col), ds.max(col))
+        from ray.data.aggregate import Max, Min
+
+        mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+        grid = (mm["lo"], mm["hi"])
     lo, hi = float(grid[0]), float(grid[1])
     if hi <= lo:
         return lo, {"mode": "grid", "rows_collected": 1}
@@ -315,9 +323,7 @@ def distinct_value_quantile(ds, col: str, q: float, *,
         u, c = np.unique(b, return_counts=True)
         return pd.DataFrame({"bin": u, "c": c})
 
-    hist = combine_aggregate(
-        ds.select_columns([col]), "bin", _bin_partial, fan=fan
-    ).take_all()
+    hist = combine_aggregate(ds, "bin", _bin_partial, fan=fan).take_all()
     hist.sort(key=lambda r: r["bin"])
     total = sum(r["c"] for r in hist)
     cum = 0

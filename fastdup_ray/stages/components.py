@@ -63,19 +63,23 @@ def connected_components(edges, config: DedupConfig | None = None):
 
     cfg = config or DedupConfig()
     nparts = cfg.num_partitions
-    sym = edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
 
     # hybrid finalize: below cc_driver_max_edges the whole edge list fits
     # on the driver (16 B/edge) and union-find beats O(diameter) shuffle
-    # rounds; the iterative path below is the at-scale route
-    n_edges = sym.count() // 2
+    # rounds; above it, one of the two distributed routes runs. The count
+    # is taken on the raw edges — symmetrizing (2x rows into the object
+    # store) only happens on the path that needs it.
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges > cfg.cc_driver_max_edges and cfg.cc_algorithm == "star":
+        return connected_components_star(edges, cfg)
     if n_edges <= cfg.cc_driver_max_edges:
         pairs = []
-        for b in sym.iter_batches(batch_size=1_000_000, batch_format="pyarrow"):
-            node = b["node"].to_numpy(zero_copy_only=False)
-            nbr = b["nbr"].to_numpy(zero_copy_only=False)
-            keep = node < nbr  # one direction suffices
-            pairs.extend(zip(node[keep].tolist(), nbr[keep].tolist()))
+        for b in edges.iter_batches(batch_size=1_000_000, batch_format="pyarrow"):
+            src = b[b.column_names[0]].to_numpy(zero_copy_only=False)
+            dst = b[b.column_names[1]].to_numpy(zero_copy_only=False)
+            keep = src != dst  # self-loops never name a component
+            pairs.extend(zip(src[keep].tolist(), dst[keep].tolist()))
         labels = union_find_oracle(pairs)
         if not labels:
             return rd.from_arrow(
@@ -88,8 +92,9 @@ def connected_components(edges, config: DedupConfig | None = None):
             pa.table({"node": pa.array(nodes[order]), "label": pa.array(labs[order])})
         ).materialize()
 
-    if cfg.cc_algorithm == "star":
-        return connected_components_star(edges, cfg)
+    # label-propagation path: symmetrize once here (the star path builds
+    # its own canonical edge representation instead)
+    sym = edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
 
     # initial labels: min(node, min neighbor) in one partitioned shuffle
     def init_agg(df: pd.DataFrame) -> pd.DataFrame:

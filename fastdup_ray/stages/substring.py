@@ -135,11 +135,14 @@ def _emit_anchor_pairs(max_bucket: int, keep_all_occurrences: bool = False):
             return pd.DataFrame({k: np.empty(0, np.int64) for k in cols})
         out_s, out_d, out_so, out_do = [], [], [], []
         for _, g in multi.groupby("fp", sort=False):
+            # sort BEFORE any dedup/cap so both are deterministic
+            # regardless of partition row order (which offset survives
+            # sampled mode's one-per-doc rule decides which site
+            # verify/extend measures)
+            g = g.sort_values(["doc_id", "offset"], kind="stable")
             if not keep_all_occurrences:
                 # one anchor occurrence per doc is enough in sampled mode
                 g = g.drop_duplicates("doc_id")
-            # deterministic bucket cap regardless of partition row order
-            g = g.sort_values(["doc_id", "offset"], kind="stable")
             g = g.head(max_bucket)
             ids = g["doc_id"].to_numpy().astype(np.int64)
             off = g["offset"].to_numpy().astype(np.int64)
