@@ -542,19 +542,21 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
             shingle_sets = docs.map_batches(
                 ShingleSetStage(cfg), batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-            ).materialize()
-        # endpoint-filter BEFORE sizing: the index holds only docs that
-        # appear in a pair
-        shingle_sets = shingle_sets.map_batches(
+            )
+        # ONE fused pass: endpoint-filter + pack, materialized once —
+        # the sizing sample, the broadcast index build AND the join
+        # fallback all consume this endpoint-only packed table (the
+        # fallback previously re-packed the UNFILTERED sets)
+        packed = shingle_sets.map_batches(
             _endpoint_filter, batch_format="pyarrow"
-        ).materialize()
+        ).map_batches(_pack_shingles, batch_format="pyarrow").materialize()
         # rough payload estimate: avg set size x 4 bytes; sample 1k rows
-        sample = shingle_sets.limit(1000).take_all()
+        sample = packed.limit(1000).take_all()
         avg = (
-            float(np.mean([len(r["shingles"]) for r in sample])) if sample else 0.0
+            float(np.mean([len(r["sh_bin"]) // 4 for r in sample]))
+            if sample else 0.0
         )
         if n_endpoints * avg * 4 <= cfg.verify_broadcast_max_bytes:
-            packed = shingle_sets.map_batches(_pack_shingles, batch_format="pyarrow")
             refs, router = _build_index_shards(
                 packed, "sh_bin", cfg.verify_index_shards
             )
@@ -588,11 +590,8 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
         )
         return joined.map_batches(_est_jaccard_batch(cfg), batch_format="pyarrow")
 
-    if shingle_sets is None:
-        shingle_sets = docs.map_batches(
-            ShingleSetStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
-        ).materialize()
-    packed = shingle_sets.map_batches(_pack_shingles, batch_format="pyarrow").materialize()
+    # exact-mode join fallback: `packed` (endpoint-filtered, already
+    # materialized above) is both join sides
     joined = cogroup_join(
         pairs, packed, on="src", right_on="doc_id", num_parts=np_parts
     ).materialize()  # see scaling note in the signature branch
