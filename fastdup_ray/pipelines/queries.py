@@ -749,9 +749,17 @@ SQL_DOC_EMBEDDINGS = _sql_doc_embeddings()
 
 
 def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
-    """IVF approximate ANN (rows-only; recall vs the exact path is asserted
-    in tests): seeded centroids, cell assignment, nprobe probing."""
-    from fastdup_ray.stages.ann import ivf_assign, ivf_topk, train_ivf_centroids
+    """IVF approximate ANN, now fully value-hash-oracled: the trainer is
+    the determinism-PINNED seeded-Lloyd variant
+    (`train_ivf_centroids_pinned`: smallest-mix64-hash sample, first-k
+    init, integer-grid-quantized exact Lloyd arithmetic) whose every step
+    is reproduced in the generated DuckDB twin `sql_ann_ivf_topk`. The
+    free-form `train_ivf_centroids` (ds.random_sample + rng.choice init)
+    stays the library default and keeps its recall test
+    (tests/test_search_ann.py::test_ivf_recall_vs_brute_force)."""
+    from fastdup_ray.stages.ann import (
+        ivf_assign, ivf_topk, train_ivf_centroids_pinned,
+    )
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     # predicate pushed into tasks; only the handful of query rows reach
@@ -765,9 +773,18 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     )
     qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    cent = train_ivf_centroids(ds, n_centroids=16, seed=42)
+    cent = train_ivf_centroids_pinned(ds, n_centroids=16)
     assigned = ivf_assign(ds, cent).materialize()
     return ivf_topk(assigned, cent, qids, qm, k=k, nprobe=6)
+
+
+def _sql_ann_ivf_topk():
+    from fastdup_ray.pipelines.sql_hash import sql_ann_ivf_topk
+
+    return sql_ann_ivf_topk(n_centroids=16, n_queries=5, k=10, nprobe=6)
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
 
 
 def q_ivf_probe_topk(sf_dir: str, n_queries: int = 5, n_centroids: int = 16,
@@ -3109,6 +3126,7 @@ def oracle_sql():
         "kmeans_assign": SQL_KMEANS_ASSIGN,
         "kmeans_topk": SQL_KMEANS_TOPK,
         "ivf_probe_topk": SQL_IVF_PROBE_TOPK,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         # simhash is hash-defined but the hash IS SQL-expressible: the
         # generated mod-2^64 arithmetic twins in sql_hash.py reproduce
         # hash64_segmented + simhash64 bit-for-bit in DuckDB (r3)

@@ -398,3 +398,104 @@ def mix64_ctes(key_expr: str, carry_cols: list[str], src: str,
     for i, expr in enumerate(steps, 1):
         ctes.append(f"mx{i} AS (SELECT {carry}, {expr} AS h{i} FROM mx{i-1})")
     return ",\n".join(ctes)
+
+
+def sql_ann_ivf_topk(n_centroids: int = 16, n_queries: int = 5, k: int = 10,
+                     nprobe: int = 6, iters: int = 5,
+                     sample_rows: int = 20_000, salt: int = 0xA11CE,
+                     scale: int = 1_000_000) -> str:
+    """Full SQL twin of `q_ann_ivf_topk` with the PINNED seeded-Lloyd
+    trainer (`stages/ann.train_ivf_centroids_pinned`): the training
+    sample is the `sample_rows` smallest `mix64(vec_id ^ salt)` rows,
+    init = first `n_centroids` of them in (hash, vec_id) order, vectors
+    are L2-normalized then quantized to an integer grid so each unrolled
+    Lloyd iteration (argmin of ||c||^2 - 2<e,c>, round-half-up integer
+    mean update) is EXACT arithmetic on both engines. The probe/top-k
+    tail is the SQL_IVF_PROBE_TOPK shape over the trained centroids
+    (list_cosine_similarity is norm-invariant, so the un-normalized
+    integer-grid centroids give the same ordering as the normalized
+    float centroids the Ray side hands to ivf_assign/ivf_topk)."""
+    parts = [mix64_ctes("vec_id", ["vec_id"], "embeddings", salt)]
+    parts.append(f"""samp AS MATERIALIZED (
+  SELECT vec_id, h5 FROM mx5 ORDER BY h5 ASC, vec_id ASC LIMIT {sample_rows}
+),
+sampo AS MATERIALIZED (
+  SELECT s.vec_id, row_number() OVER (ORDER BY s.h5, s.vec_id) - 1 AS rn,
+         e.embedding
+  FROM samp s JOIN embeddings e USING (vec_id)
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, rn, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS val
+  FROM sampo
+),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(val*val)) AS n FROM ev GROUP BY vec_id),
+eq AS MATERIALIZED (
+  SELECT ev.vec_id, ev.rn, ev.dim,
+         CAST(floor(ev.val / (CASE WHEN n.n = 0 THEN 1 ELSE n.n END)
+                    * {scale} + 0.5) AS BIGINT) AS q
+  FROM ev JOIN nrm n USING (vec_id)
+),
+c0 AS MATERIALIZED (SELECT rn AS cell, dim, q AS cq FROM eq WHERE rn < {n_centroids})""")
+    for i in range(iters):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id, c.cell, sum(e.q * c.cq) AS dt
+  FROM eq e JOIN c{i} c USING (dim) GROUP BY 1, 2
+),
+n{i} AS MATERIALIZED (SELECT cell, sum(cq*cq) AS c2 FROM c{i} GROUP BY 1),
+a{i} AS MATERIALIZED (
+  SELECT d.vec_id, d.cell
+  FROM d{i} d JOIN n{i} n USING (cell)
+  QUALIFY row_number() OVER (
+    PARTITION BY d.vec_id ORDER BY n.c2 - 2*d.dt ASC, d.cell ASC) = 1
+),
+u{i} AS MATERIALIZED (
+  SELECT a.cell, e.dim,
+         CAST(floor((2.0*sum(e.q) + count(*)) / (2.0*count(*))) AS BIGINT)
+           AS cq
+  FROM a{i} a JOIN eq e USING (vec_id) GROUP BY 1, 2
+),
+c{i+1} AS MATERIALIZED (
+  SELECT p.cell, p.dim, COALESCE(u.cq, p.cq) AS cq
+  FROM c{i} p LEFT JOIN u{i} u ON u.cell = p.cell AND u.dim = p.dim
+)""")
+    parts.append(f"""cent AS MATERIALIZED (
+  SELECT cell, list(cq / {scale}.0 ORDER BY dim) AS embedding
+  FROM c{iters} GROUP BY cell
+),
+q AS MATERIALIZED (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {n_queries}),
+assigned AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cent c ON TRUE
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding) DESC,
+             c.cell ASC
+  ) = 1
+),
+probes AS MATERIALIZED (
+  SELECT q.query_id, c.cell
+  FROM q JOIN cent c ON TRUE
+  QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding) DESC,
+             c.cell ASC
+  ) <= {nprobe}
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH
+{body}
+SELECT p.query_id, a.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    a.embedding::DOUBLE[]), 5) AS cosine
+FROM probes p
+JOIN assigned a ON a.cell = p.cell
+JOIN q ON q.query_id = p.query_id
+WHERE a.vec_id != p.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY p.query_id
+  ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        a.embedding::DOUBLE[]), 5) DESC,
+           a.vec_id ASC
+) <= {k}"""

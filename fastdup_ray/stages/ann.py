@@ -102,6 +102,73 @@ def train_ivf_centroids(ds, n_centroids: int, *, embedding_col: str = "embedding
     return cent
 
 
+def train_ivf_centroids_pinned(ds, n_centroids: int, *,
+                               embedding_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               sample_rows: int = 20_000, iters: int = 5,
+                               salt: int = 0xA11CE,
+                               scale: int = 1_000_000) -> np.ndarray:
+    """SQL-expressible seeded-Lloyd trainer (the determinism-pinned twin of
+    `train_ivf_centroids`, same role hash_sign plays for the embedding
+    encoder: the free-form variant stays the library default, this one
+    makes the whole training loop reproducible in a DuckDB CTE chain so
+    `ann_ivf_topk` can be value-hash-oracled).
+
+    Every source of cross-engine nondeterminism is removed:
+
+    - the training sample is the `sample_rows` rows with the SMALLEST
+      `mix64(vec_id ^ salt)` (per-block top-N pruning before the driver
+      pass, like `stages/sample.stratified_fixed_n`) instead of
+      `ds.random_sample` — expressible as ORDER BY h LIMIT n;
+    - init = the first `n_centroids` sample rows in (hash, vec_id) order
+      instead of an `np.random.Generator.choice` draw;
+    - vectors are L2-normalized then QUANTIZED to an integer grid
+      (`floor(v*scale + 0.5)`), so Lloyd assignment (argmin of
+      ||c||^2 - 2<e,c>, ties -> lowest cell) and the centroid-mean
+      update (`floor((2*sum + n) / (2*n))`, exact in float64 because
+      every intermediate is < 2^53) are EXACT integer arithmetic —
+      no summation-order sensitivity on either engine.
+
+    Returns unit-normalized float64 centroids (c, d), drop-in for
+    `ivf_assign` / `ivf_topk`."""
+    from fastdup_ray.functions.hashing import mix64
+
+    keep_n = sample_rows
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix64(ids.view(np.uint64) ^ np.uint64(salt))
+        batch = batch.select([id_col, embedding_col]).append_column(
+            "__h", pa.array(h, pa.uint64()))
+        if len(ids) > keep_n:
+            keep = np.sort(np.argpartition(h, keep_n - 1)[:keep_n])
+            batch = batch.take(pa.array(keep))
+        return batch
+
+    rows = ds.map_batches(prune, batch_format="pyarrow").take_all()
+    h = np.array([r["__h"] for r in rows], np.uint64)
+    ids = np.array([r[id_col] for r in rows], np.int64)
+    order = np.lexsort((ids, h))[: min(keep_n, len(rows))]
+    m = np.stack([np.asarray(rows[i][embedding_col], np.float64)
+                  for i in order])
+    eq = np.floor(_normalize(m) * scale + 0.5).astype(np.int64)
+    k = min(n_centroids, eq.shape[0])
+    cq = eq[:k].copy()
+    for _ in range(iters):
+        cost = (cq * cq).sum(axis=1)[None, :] - 2 * (eq @ cq.T)  # (n, k) int
+        a = cost.argmin(axis=1)  # first min = lowest cell on ties
+        counts = np.bincount(a, minlength=k)
+        sums = np.zeros((k, eq.shape[1]), np.int64)
+        np.add.at(sums, a, eq)
+        nz = counts > 0
+        # round-half-up mean on the integer grid; |2*sum + n| < 2^53 so
+        # the float64 divide + floor is exact (same formula in the SQL twin)
+        cq[nz] = np.floor(
+            (2.0 * sums[nz] + counts[nz, None]) / (2.0 * counts[nz, None])
+        ).astype(np.int64)
+    return _normalize(cq.astype(np.float64) / scale)
+
+
 def train_kmeans(ds, n_centroids: int, *, embedding_col: str = "embedding",
                  iters: int = 10, seed: int = 42,
                  init_sample_rows: int = 20_000) -> np.ndarray:

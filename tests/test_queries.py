@@ -60,6 +60,7 @@ CHECKED = [
     # round-4: every remaining oracled query (heavyweights
     # ngram_jaccard_pairs / minhash_components keep their own dedicated
     # recall test below)
+    "ann_ivf_topk",
     "benchmark_contamination",
     "bpe_token_counts",
     "customers_without_events",
