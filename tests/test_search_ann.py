@@ -159,3 +159,23 @@ def test_cli_yaml_config_spec(tmp_path):
     manifest = json.loads((tmp_path / "wd" / "docs" / "manifest.json").read_text())
     assert manifest["config"]["min_text_len"] == 25  # from yaml
     assert manifest["config"]["threshold"] == 0.85  # flag overrides yaml
+
+
+def test_pinned_trainer_parallelism_invariant(ray_session):
+    """train_ivf_centroids_pinned must yield bit-identical centroids at
+    any block count (the per-block top-N prune + driver (hash, vec_id)
+    ordering make the sample, init and every integer Lloyd step
+    independent of partitioning) — the property its SQL twin relies on."""
+    from fastdup_ray.stages.ann import train_ivf_centroids_pinned
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    c1 = train_ivf_centroids_pinned(ds.repartition(1), 16)
+    c8 = train_ivf_centroids_pinned(ds.repartition(8), 16)
+    assert np.array_equal(c1, c8)
+    # and a small sample budget exercises the per-block prune branch
+    c_small_1 = train_ivf_centroids_pinned(ds.repartition(1), 8,
+                                           sample_rows=64)
+    c_small_8 = train_ivf_centroids_pinned(ds.repartition(8), 8,
+                                           sample_rows=64)
+    assert np.array_equal(c_small_1, c_small_8)
