@@ -66,34 +66,10 @@ def _ppm_encode(w: int, h: int, pixels: bytes) -> bytes:
 
 
 def _make_ppm_decoder():
-    """REAL pure-python P6 PPM parser with the MediaDecodeStage decoder
-    contract (bytes -> {width, height, n_frames, feature[64]}): parses
-    the header for real dimensions, rejects malformed payloads, and
-    derives the feature from actual pixel values (64-bin normalized
-    intensity histogram). Returned as a closure so Ray ships it by
-    value into the actor pool."""
-
-    def ppm_decode(payload: bytes) -> dict:
-        if not payload.startswith(b"P6"):
-            raise ValueError("not a P6 PPM")
-        parts = payload.split(b"\n", 3)
-        if len(parts) < 4:
-            raise ValueError("truncated header")
-        w, h = (int(x) for x in parts[1].split())
-        maxval = int(parts[2])
-        if maxval != 255:
-            raise ValueError("unsupported maxval")
-        raster = parts[3]
-        if len(raster) != w * h * 3:
-            raise ValueError("raster size mismatch")
-        px = np.frombuffer(raster, np.uint8)
-        hist = np.bincount(px // 4, minlength=64).astype(np.float64)[:64]
-        return {
-            "width": w,
-            "height": h,
-            "n_frames": 1,
-            "feature": hist / (np.linalg.norm(hist) or 1.0),
-        }
+    """The library's REAL pure-python P6 PPM codec (promoted from this
+    test in r4): exercising the import proves the shipped decoder, not
+    a test-local copy, satisfies the MediaDecodeStage contract."""
+    from fastdup_ray.stages.multimodal import ppm_decode
 
     return ppm_decode
 
