@@ -1192,6 +1192,117 @@ FROM b JOIN t ON b.pfx = t.pfx GROUP BY 1
 """
 
 
+def q_contamination_ngrams(sf_dir: str, n: int = 5, bench_mod: int = 50):
+    """GPT-3-style n-gram decontamination (Brown et al. 2020 App. C — the
+    13-gram collision scan; PaLM and Llama reuse the shape): build the
+    DISTINCT word-n-gram set of a held-out benchmark slice (here the
+    deterministic `doc_id % bench_mod == 0` docs), broadcast it once, and
+    report every TRAIN doc whose distinct grams collide with it, with the
+    collision fraction. The benchmark gram set is per-block-deduped in
+    tasks then tree-reduced task-side (the driver holds only the final
+    ObjectRef, the endpoint-set pattern of stages/verify.py); scoring is
+    one map pass reading the broadcast zero-copy. Scale contract:
+    benchmark suites are small by construction — the gram set, not the
+    corpus, must fit the object store (the standard assumption of this
+    operator in practice)."""
+    import ray as _ray
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def _grams_of(text: str) -> list[str]:
+        ws = [w for w in (text or "").split(" ") if w]
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    @_ray.remote
+    def _block_grams(t: pa.Table) -> np.ndarray:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        gs: set[str] = set()
+        for i, txt in zip(ids, texts):
+            if i % bench_mod == 0:
+                gs.update(_grams_of(txt))
+        return np.array(sorted(gs), dtype=object)
+
+    @_ray.remote
+    def _merge(*arrs) -> np.ndarray:
+        return np.unique(np.concatenate(arrs))
+
+    refs = [_block_grams.remote(r) for r in docs.to_arrow_refs()]
+    if not refs:
+        bench_ref = _ray.put(np.array([], dtype=object))
+    else:
+        while len(refs) > 1:
+            refs = [_merge.remote(*refs[i:i + 8]) for i in range(0, len(refs), 8)]
+        bench_ref = refs[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = _ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_id, out_ng, out_nh = [], [], []
+        for i, txt in zip(ids, texts):
+            if i % bench_mod == 0:
+                continue
+            grams = np.unique(np.array(_grams_of(txt), dtype=object))
+            if grams.size == 0 or bench.size == 0:
+                continue
+            pos = np.clip(np.searchsorted(bench, grams), 0, bench.size - 1)
+            n_hit = int((bench[pos] == grams).sum())
+            if n_hit:
+                out_id.append(i)
+                out_ng.append(grams.size)
+                out_nh.append(n_hit)
+        ng = np.asarray(out_ng, np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_grams": pa.array(out_ng, pa.int64()),
+                "n_hit": pa.array(out_nh, pa.int64()),
+                "contaminated_frac": pa.array(
+                    np.round(np.asarray(out_nh, np.float64) / ng, 6)
+                    if len(out_ng) else np.empty(0, np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_contamination_ngrams(n: int = 5, bench_mod: int = 50) -> str:
+    gram = " || ' ' || ".join(
+        ["w"] + [f"lead(w,{j}) OVER win" for j in range(1, n)]
+    )
+    return f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM wl
+),
+grams AS (
+  SELECT doc_id, {gram} AS g
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(w, {n - 1}) OVER win IS NOT NULL
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % {bench_mod} <> 0)
+SELECT tg.doc_id,
+       count(*) AS n_grams,
+       count(bg.g) AS n_hit,
+       ROUND(count(bg.g)::DOUBLE / count(*), 6) AS contaminated_frac
+FROM tg LEFT JOIN bg USING (g)
+GROUP BY tg.doc_id
+HAVING count(bg.g) > 0
+"""
+
+
+SQL_CONTAMINATION_NGRAMS = _sql_contamination_ngrams()
+
+
 # ------------------------------------------------------- repetition signals
 def q_word_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
@@ -3050,6 +3161,7 @@ def queries():
         "last_order_before_event": q_last_order_before_event,
         "word_repetition_stats": q_word_repetition_stats,
         "benchmark_contamination": q_benchmark_contamination,
+        "contamination_ngrams": q_contamination_ngrams,
         "customer_revenue_topk": q_customer_revenue_topk,
         "customers_without_orders": q_customers_without_orders,
         "customers_without_events": q_customers_without_events,
@@ -3109,6 +3221,7 @@ def oracle_sql():
         "last_order_before_event": SQL_LAST_ORDER_BEFORE_EVENT,
         "word_repetition_stats": SQL_WORD_REPETITION_STATS,
         "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
+        "contamination_ngrams": SQL_CONTAMINATION_NGRAMS,
         "customer_revenue_topk": SQL_CUSTOMER_REVENUE_TOPK,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,

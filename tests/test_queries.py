@@ -62,6 +62,7 @@ CHECKED = [
     # recall test below)
     "ann_ivf_topk",
     "benchmark_contamination",
+    "contamination_ngrams",
     "bpe_token_counts",
     "customers_without_events",
     "doc_captions",
