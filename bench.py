@@ -215,7 +215,7 @@ def run_bench() -> dict:
         "hierarchical_components", "lang_confusion", "bpe_token_counts",
         "zero_shot_labels", "winnow_fingerprints", "span_dedup_spans",
         "pii_redact", "substring_dup_pairs_winnow", "doc_chunks",
-        "contamination_ngrams",
+        "contamination_ngrams", "temperature_mix",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

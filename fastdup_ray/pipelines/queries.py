@@ -15,6 +15,8 @@ Conventions:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2860,6 +2862,56 @@ def q_stratified_sample(sf_dir: str):
                        salt=_SAMPLE_SALT)
 
 
+_TEMP_MIX_SALT = 0x7E09
+_TEMP_MIX_K = 3.0
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based source mixing (the data-mixing step of
+    GPT/Llama-style corpus assembly: sample source s with expected count
+    ∝ n_s^alpha, alpha=0.5, flattening head sources): per-source counts
+    via the zero-shuffle combiner, then one shuffle-free hash-Bernoulli
+    pass at rate_s = min(1, K/sqrt(n_s)) — expected take K*sqrt(n_s),
+    exactly the alpha=0.5 temperature target. The rate formula avoids
+    any cross-group float sum (no normalization constant), so the
+    thresholds are bit-identical doubles on both engines and membership
+    is oracled through the exact mix64 CTE chain."""
+    from fastdup_ray.stages.sample import hash_sample
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False, sort=False).agg(
+            n=("source", "size")
+        )
+
+    counts = combine_aggregate(
+        _t(sf_dir, "documents", ["source"]), "source", partial
+    ).take_all()
+    rates = {
+        r["source"]: min(1.0, _TEMP_MIX_K / math.sqrt(r["n"])) for r in counts
+    }
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    return hash_sample(docs, key="doc_id", group_col="source",
+                       rates=rates, default_rate=0.0, salt=_TEMP_MIX_SALT)
+
+
+def _sql_temperature_mix() -> str:
+    from fastdup_ray.pipelines.sql_hash import mix64_ctes
+
+    ctes = mix64_ctes("doc_id", ["doc_id", "source"], "documents",
+                      salt=_TEMP_MIX_SALT)
+    return (
+        f"WITH {ctes},\n"
+        "cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source)\n"
+        "SELECT m.doc_id, m.source\n"
+        "FROM mx5 m JOIN cnt c ON c.source = m.source\n"
+        "WHERE m.h5 % 1000000 < CAST(FLOOR(LEAST(1.0, "
+        f"{_TEMP_MIX_K} / sqrt(c.n)) * 1000000) AS BIGINT)"
+    )
+
+
+SQL_TEMPERATURE_MIX = _sql_temperature_mix()
+
+
 def _sql_stratified(which: str) -> str:
     from fastdup_ray.pipelines.sql_hash import mix64_ctes
 
@@ -3182,6 +3234,7 @@ def queries():
         "span_dedup_spans": q_span_dedup_spans,
         "span_dedup_docs": q_span_dedup_docs,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "stratified_fixed_n": q_stratified_fixed_n,
         "redacted_events": q_redacted_events,
         "pii_redact": q_pii_redact,
@@ -3253,6 +3306,7 @@ def oracle_sql():
         "span_dedup_spans": SQL_SPAN_DEDUP_SPANS,
         "span_dedup_docs": SQL_SPAN_DEDUP_DOCS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "temperature_mix": SQL_TEMPERATURE_MIX,
         "stratified_fixed_n": SQL_STRATIFIED_FIXED_N,
         "redacted_events": SQL_REDACTED_EVENTS,
         "pii_redact": SQL_PII_REDACT,

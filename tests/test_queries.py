@@ -63,6 +63,7 @@ CHECKED = [
     "ann_ivf_topk",
     "benchmark_contamination",
     "contamination_ngrams",
+    "temperature_mix",
     "bpe_token_counts",
     "customers_without_events",
     "doc_captions",
