@@ -1,0 +1,85 @@
+"""Local rehearsal of the driver's correctness gate.
+
+Runs every catalog query through BOTH engines — the Ray pipeline and its
+DuckDB oracle — at a given scale factor and applies the driver's compare
+(row count, column set, then column-sorted value equality, exact for
+ints/strings and bit-exact for floats). Use before a round lands to
+guarantee CORRECTNESS_r{N}.json comes back green:
+
+    python tools/correctness_dryrun.py [sf_dir]     # default sf0.01
+
+2026-08-20 result at sf0.01: 67/67 OK, zero rows-only (every query has a
+full value-hash oracle).
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = "/root/repo"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, REPO)
+    spec = importlib.util.spec_from_file_location(
+        "entry", f"{REPO}/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q, o = m.queries(), m.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    fails: list[str] = []
+    for name in sorted(q):
+        t0 = time.time()
+        try:
+            res = q[name](sf_dir)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+            if name not in o:
+                status = "rows-only"
+            else:
+                odf = con.sql(o[name]).df()
+                cols = sorted(df.columns)
+                ok = len(df) == len(odf) and cols == sorted(odf.columns)
+                if ok:
+                    a = df[cols].sort_values(cols).reset_index(drop=True)
+                    b = odf[cols].sort_values(cols).reset_index(drop=True)
+                    for c in cols:
+                        av, bv = a[c].to_numpy(), b[c].to_numpy()
+                        same = (np.array_equal(av, bv, equal_nan=True)
+                                if a[c].dtype.kind == "f" else bool((av == bv).all()))
+                        if not same:
+                            ok = False
+                            break
+                status = "OK" if ok else "FAIL"
+            print(f"{name:32s} {status:9s} rows={len(df):6d} "
+                  f"{time.time() - t0:6.1f}s", flush=True)
+            if status == "FAIL":
+                fails.append(name)
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            print(f"{name:32s} ERROR {str(e)[:120]}", flush=True)
+            fails.append(name)
+    print("FAILS:", fails)
+    ray.shutdown()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
