@@ -216,6 +216,8 @@ def run_bench() -> dict:
         "zero_shot_labels", "winnow_fingerprints", "span_dedup_spans",
         "pii_redact", "substring_dup_pairs_winnow", "doc_chunks",
         "contamination_ngrams", "temperature_mix",
+        # round-4b additions
+        "semdedup", "dsir_weights", "pmi_collocations",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

@@ -2912,6 +2912,119 @@ def _sql_temperature_mix() -> str:
 SQL_TEMPERATURE_MIX = _sql_temperature_mix()
 
 
+def q_semdedup(sf_dir: str, n_centroids: int = 16, threshold: float = 0.4):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding table,
+    then keep one representative per intra-cluster cosine-similarity
+    group (round(cos,6) >= threshold). Centroids here are the
+    deterministic first-n normalized vectors (the `ivf_probe_topk` /
+    `kmeans_assign` convention) so the whole pipeline — assignment
+    argmax, intra-cluster pair graph, min-id representative — is
+    SQL-expressible; the library default accepts any trained centroids
+    (seeded-Lloyd `train_ivf_centroids_pinned` / free-form trainer).
+    Output: (vec_id, cell, rep_id, keep) — `filter(keep)` is the
+    semantically deduplicated corpus."""
+    from fastdup_ray.stages.ann import _normalize
+    from fastdup_ray.stages.semdedup import semdedup
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    rows = sorted(
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_centroids))),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    return semdedup(ds, cent, threshold=threshold)
+
+
+SQL_SEMDEDUP = """
+WITH RECURSIVE
+cent AS (
+  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cent c ON TRUE
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+             c.cell ASC
+  ) = 1
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+),
+sym AS (SELECT src AS u, dst AS v FROM pairs UNION SELECT dst, src FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+),
+rep AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       coalesce(r.rep_id, a.vec_id) AS rep_id,
+       coalesce(r.rep_id, a.vec_id) = a.vec_id AS keep
+FROM assigned a LEFT JOIN rep r ON r.vec_id = a.vec_id
+"""
+
+
+def q_dsir_weights(sf_dir: str, vocab_k: int = 256):
+    """DSIR-style importance weights (Xie et al. 2023): per-doc mean
+    log-likelihood ratio of a target-slice bag-of-words model (docs with
+    source = 'src0') against the raw-corpus model, vocab-capped with
+    <unk> like the LM stage. Positive = looks like the target. Full SQL
+    twin (same tokenization/vocab/smoothing contract as
+    lm_cross_entropy)."""
+    from fastdup_ray.stages.dsir import dsir_weights
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["source"], pa.scalar("src0")))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    return dsir_weights(docs.select_columns(["doc_id", "text"]), target,
+                        vocab_k=vocab_k)
+
+
+def _sql_dsir_weights() -> str:
+    from fastdup_ray.stages.dsir import sql_dsir_weights
+
+    return sql_dsir_weights(256, "d.source = 'src0'")
+
+
+SQL_DSIR_WEIGHTS = _sql_dsir_weights()
+
+
+def q_pmi_collocations(sf_dir: str, vocab_k: int = 512, min_count: int = 5,
+                       k: int = 100):
+    """Corpus collocation mining: top-k adjacent-token bigrams by PMI
+    (Church & Hanks 1990) over the top-vocab_k vocabulary, min_count
+    guard against rare-pair bias. The counting passes are the LM
+    stage's map-side-combined exchanges; the final ranking is a
+    knob-bounded driver computation. Exact SQL twin."""
+    from fastdup_ray.stages.lm import pmi_collocations
+
+    return pmi_collocations(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        vocab_k=vocab_k, min_count=min_count, k=k,
+    )
+
+
+def _sql_pmi_collocations() -> str:
+    from fastdup_ray.stages.lm import sql_pmi_collocations
+
+    return sql_pmi_collocations(512, 5, 100)
+
+
+SQL_PMI_COLLOCATIONS = _sql_pmi_collocations()
+
+
 def _sql_stratified(which: str) -> str:
     from fastdup_ray.pipelines.sql_hash import mix64_ctes
 
@@ -3243,6 +3356,9 @@ def queries():
         "lm_cross_entropy": q_lm_cross_entropy,
         "substring_dup_pairs_winnow": q_substring_dup_pairs_winnow,
         "doc_chunks": q_doc_chunks,
+        "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -3326,4 +3442,7 @@ def oracle_sql():
         # prototype matrix inlined as VALUES (ann_ivf_topk stays the one
         # rows-only query: seeded-Lloyd trainer)
         "zero_shot_labels": _sql_zero_shot_labels(),
+        "semdedup": SQL_SEMDEDUP,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
+        "pmi_collocations": SQL_PMI_COLLOCATIONS,
     }

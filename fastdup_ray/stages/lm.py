@@ -94,6 +94,37 @@ def train_vocab(docs, vocab_k: int) -> list[str]:
     return [r["token"] for r in cand[:vocab_k]]
 
 
+def unigram_counts(docs, cats: list[str]) -> np.ndarray:
+    """int64[len(cats)] occurrence counts of each category over the
+    space-split token stream of ``docs`` (tokens outside ``cats`` count
+    toward the trailing ``<unk>`` slot). Map-side combined: the shuffle
+    carries <= len(cats) rows per block, one partition exchange total."""
+    ncat = len(cats)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, flat = _token_regions(batch)
+        codes = pd.Categorical(flat, categories=cats).codes.astype(np.int64)
+        codes[codes < 0] = ncat - 1
+        uk, uc = np.unique(codes, return_counts=True)
+        return pa.table({
+            "k": pa.array(uk, pa.int64()),
+            "c": pa.array(uc.astype(np.int64), pa.int64()),
+        })
+
+    from fastdup_ray.relational.ops import partitioned_groupby
+
+    rows = partitioned_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "k",
+        lambda df: df.groupby("k", as_index=False, sort=False)["c"].sum(),
+        num_parts=8,
+    ).take_all()
+    out = np.zeros(ncat, np.int64)
+    for r in rows:
+        out[r["k"]] = r["c"]
+    return out
+
+
 def _code_stream(batch: pa.Table, cats: list[str]):
     """(ids, offs, cur_codes, prev_codes) with codes over cats + BOS.
 
@@ -258,4 +289,96 @@ scored AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        ROUND(-avg(lp), 4) AS cross_entropy
 FROM scored GROUP BY doc_id
+"""
+
+
+def pmi_collocations(docs, *, vocab_k: int = 512, min_count: int = 5,
+                     k: int = 100) -> pa.Table:
+    """Top-k bigram collocations by pointwise mutual information.
+
+    Church & Hanks 1990 (public) association scoring over the corpus's
+    adjacent-token bigrams, restricted to the top-``vocab_k`` vocabulary
+    (OOV bigrams dropped — the same knob that bounds the LM model keeps
+    the candidate table <= (vocab_k+2)^2 regardless of corpus size, so
+    the final PMI ranking is a bounded driver-side computation over
+    knob-sized aggregates; the counting passes themselves are the
+    map-side-combined streaming passes of ``train_vocab`` /
+    ``train_bigram_counts`` / ``unigram_counts``).
+
+      pmi(x, y) = ln( (c_xy / N_b) / ((c_x / N_u) * (c_y / N_u)) )
+
+    with N_b = total in-vocab bigrams, N_u = total tokens. Rounded to
+    4dp; rows with c_xy < ``min_count`` dropped (the classic guard
+    against PMI's rare-pair bias); deterministic (pmi desc, w1 asc,
+    w2 asc) top-k. The SQL twin ``sql_pmi_collocations`` reproduces the
+    exact expression tree, so the only float divergence is ln-of-
+    identical-doubles, absorbed by the rounding."""
+    vocab = train_vocab(docs, vocab_k)
+    cats = vocab + [_UNK]
+    V = len(vocab)
+    big = train_bigram_counts(docs, cats)
+    uni = unigram_counts(docs, cats).astype(np.float64)
+    nu = float(uni.sum())
+    keys = big["k"].to_numpy().astype(np.int64)
+    c = big["c"].to_numpy().astype(np.int64)
+    prev, cur = keys // len(cats), keys % len(cats)
+    inv = (prev < V) & (cur < V)
+    prev, cur, c = prev[inv], cur[inv], c[inv]
+    nb = float(c.sum())
+    keep = c >= min_count
+    prev, cur, c = prev[keep], cur[keep], c[keep]
+    # the exact expression tree of the SQL twin: div, div, div, mul, div
+    pmi = np.round(
+        np.log((c / nb) / ((uni[prev] / nu) * (uni[cur] / nu))), 4
+    ) + 0.0
+    order = np.lexsort((
+        np.array(cats, dtype=object)[cur],
+        np.array(cats, dtype=object)[prev],
+        -pmi,
+    ))[:k]
+    cats_arr = np.array(cats, dtype=object)
+    return pa.table({
+        "w1": pa.array(cats_arr[prev[order]], pa.string()),
+        "w2": pa.array(cats_arr[cur[order]], pa.string()),
+        "cnt": pa.array(c[order], pa.int64()),
+        "pmi": pa.array(pmi[order], pa.float64()),
+    })
+
+
+def sql_pmi_collocations(vocab_k: int, min_count: int, k: int,
+                         doc_table: str = "documents") -> str:
+    """DuckDB twin of ``pmi_collocations``: same tokenization, vocab
+    tie-break, OOV drop, PMI expression tree, rounding and top-k order."""
+    return f"""
+WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {doc_table}),
+tok AS (
+  SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
+  FROM tl, unnest(range(len(toks))) AS r(i)
+),
+uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+vocab AS (SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT {vocab_k}),
+nu AS (SELECT sum(cnt) AS n FROM uni),
+seq AS (
+  SELECT doc_id, token AS cur,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+big AS (
+  SELECT s.prev AS w1, s.cur AS w2, count(*) AS c
+  FROM seq s
+  JOIN vocab v1 ON v1.token = s.prev
+  JOIN vocab v2 ON v2.token = s.cur
+  GROUP BY 1, 2
+),
+nb AS (SELECT sum(c) AS n FROM big)
+SELECT w1, w2, CAST(c AS BIGINT) AS cnt,
+       ROUND(ln((c::DOUBLE / (SELECT n FROM nb))
+                / ((v1.cnt::DOUBLE / (SELECT n FROM nu))
+                   * (v2.cnt::DOUBLE / (SELECT n FROM nu)))), 4) + 0.0 AS pmi
+FROM big
+JOIN vocab v1 ON v1.token = w1
+JOIN vocab v2 ON v2.token = w2
+WHERE c >= {min_count}
+ORDER BY pmi DESC, w1, w2
+LIMIT {k}
 """

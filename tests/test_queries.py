@@ -82,6 +82,10 @@ CHECKED = [
     "winnow_fingerprints",
     "word_repetition_stats",
     "zero_shot_labels",
+    # round-4b additions
+    "semdedup",
+    "dsir_weights",
+    "pmi_collocations",
 ]
 
 
