@@ -217,7 +217,7 @@ def run_bench() -> dict:
         "pii_redact", "substring_dup_pairs_winnow", "doc_chunks",
         "contamination_ngrams", "temperature_mix",
         # round-4b additions
-        "semdedup", "dsir_weights", "pmi_collocations",
+        "semdedup", "dsir_weights", "pmi_collocations", "heavy_hitters",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

@@ -3025,6 +3025,52 @@ def _sql_pmi_collocations() -> str:
 SQL_PMI_COLLOCATIONS = _sql_pmi_collocations()
 
 
+def q_heavy_hitters(sf_dir: str, capacity: int = 1 << 15, k: int = 50):
+    """Frequent tokens via the distributed Misra-Gries sketch — the
+    ZERO-SHUFFLE scale path for `vocab_topk`'s partition exchange (pure
+    map pass + capacity-bounded tree reduce; nothing data-proportional
+    moves). At this capacity (32768 > the fixtures' distinct-token
+    count) no reduction fires, counts are exact and the SQL twin pins
+    them; the approximation guarantee at small capacity
+    (c_hat <= c <= c_hat + N/(cap+1)) is pytest-gated in
+    tests/test_round4b.py."""
+    from fastdup_ray.stages.lm import _token_regions
+    from fastdup_ray.stages.sketches import misra_gries_counts
+
+    def to_keys(t: pa.Table) -> np.ndarray:
+        _, _, flat = _token_regions(t)
+        return flat
+
+    keys, counts, _n, err = misra_gries_counts(
+        _t(sf_dir, "documents", ["doc_id", "text"]), to_keys,
+        capacity=capacity,
+    )
+    assert err == 0.0, "fixture capacity must keep the sketch exact"
+    top = (
+        pd.DataFrame({"token": keys, "cnt": counts})
+        .sort_values(["cnt", "token"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+    )
+    return pa.table({
+        "token": pa.array(top["token"].to_numpy(), pa.string()),
+        "cnt": pa.array(top["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+SQL_HEAVY_HITTERS = """
+WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT toks[r.i + 1] AS token
+  FROM tl, unnest(range(len(toks))) AS r(i)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 50
+"""
+
+
 def _sql_stratified(which: str) -> str:
     from fastdup_ray.pipelines.sql_hash import mix64_ctes
 
@@ -3359,6 +3405,7 @@ def queries():
         "semdedup": q_semdedup,
         "dsir_weights": q_dsir_weights,
         "pmi_collocations": q_pmi_collocations,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -3445,4 +3492,5 @@ def oracle_sql():
         "semdedup": SQL_SEMDEDUP,
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
     }

@@ -131,3 +131,88 @@ def hll_distinct(ds, *, k: int = 5, group_col: str = "source",
 
     return partitioned_groupby(partials, group_col, finish,
                                num_parts=num_parts)
+
+
+# --------------------------------------------------------------- Misra-Gries
+def _mg_prune(keys: np.ndarray, counts: np.ndarray,
+              cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries reduction to <= cap counters: subtract the (cap+1)-th
+    largest count from every counter and drop the non-positive ones (at
+    most cap counters can stay strictly positive)."""
+    if keys.shape[0] <= cap:
+        return keys, counts
+    kth = np.partition(counts, counts.shape[0] - cap - 1)[
+        counts.shape[0] - cap - 1
+    ]
+    keep = counts > kth
+    return keys[keep], counts[keep] - kth
+
+
+def _mg_merge(parts: list[tuple[np.ndarray, np.ndarray]],
+              cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge Misra-Gries summaries: pointwise counter sum, then one
+    reduction (Agarwal et al. 2012, "Mergeable Summaries": the merged
+    summary keeps the per-summary error bounds additive, so a tree of
+    merges has the same guarantee as one sequential pass)."""
+    keys = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    if keys.shape[0]:
+        s = pd.Series(counts)
+        g = s.groupby(pd.Series(keys), sort=False).sum()
+        keys = g.index.to_numpy(dtype=object)
+        counts = g.to_numpy(dtype=np.int64)
+    return _mg_prune(keys, counts, cap)
+
+
+def misra_gries_counts(ds, to_keys, *, capacity: int = 1 << 15,
+                       fan: int = 8):
+    """Distributed Misra-Gries heavy-hitters summary — the ZERO-SHUFFLE
+    scale path for frequent-item counts (the exact path is the
+    `vocab_topk` partition exchange).
+
+    Public algorithm: Misra & Gries 1982 "Finding repeated elements";
+    the tree merge is Agarwal et al. 2012 ("Mergeable Summaries", PODS):
+    per-block exact counts are a valid summary, pairwise merge = counter
+    sum + one reduction. Each block emits <= capacity counters and the
+    driver only ever holds the final summary, so the cost is a pure map
+    pass + log-depth tree of capacity-bounded reduces — no exchange of
+    raw keys at any point.
+
+    Guarantee (returned alongside): for every key x,
+        c_hat(x) <= c(x) <= c_hat(x) + err,
+        err = (N - sum(kept counters)) / (capacity + 1) rounds ... <=
+        N / (capacity + 1),
+    so any key with true frequency > N/(capacity+1) is present. When
+    ``capacity`` >= total distinct keys no reduction ever fires and the
+    counts are EXACT (err == 0) — the property the SQL twin pins.
+
+    ds: Dataset; to_keys: pa.Table -> np.ndarray(object) key stream.
+    Returns (keys ndarray, counts int64 ndarray, n_total, err_bound).
+    """
+    import ray as _ray
+
+    @_ray.remote
+    def block_summary(t: pa.Table):
+        keys = to_keys(t)
+        if keys.shape[0] == 0:
+            return (np.empty(0, object), np.empty(0, np.int64), 0)
+        vc = pd.Series(keys).value_counts(sort=False)
+        k, c = _mg_prune(vc.index.to_numpy(dtype=object),
+                         vc.to_numpy(dtype=np.int64), capacity)
+        return (k, c, int(keys.shape[0]))
+
+    @_ray.remote
+    def merge(*parts):
+        k, c = _mg_merge([(p[0], p[1]) for p in parts], capacity)
+        return (k, c, sum(p[2] for p in parts))
+
+    refs = [block_summary.remote(r)
+            for r in ds.materialize().to_arrow_refs()]
+    if not refs:
+        return np.empty(0, object), np.empty(0, np.int64), 0, 0.0
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i:i + fan])
+                for i in range(0, len(refs), fan)]
+    keys, counts, n = _ray.get(refs[0])
+    err = (n - int(counts.sum())) / (capacity + 1)
+    return keys, counts, n, err

@@ -86,6 +86,7 @@ CHECKED = [
     "semdedup",
     "dsir_weights",
     "pmi_collocations",
+    "heavy_hitters",
 ]
 
 

@@ -135,3 +135,66 @@ def test_pmi_planted_collocation_tops(ray_session):
     # deterministic ordering contract: pmi desc then lexical
     pmis = out.pmi.to_numpy()
     assert (np.diff(pmis) <= 0).all()
+
+
+def test_misra_gries_bounds(ray_session):
+    """Small capacity on a skewed stream: every estimate is a lower
+    bound within N/(cap+1); every key with true frequency above the
+    bound is guaranteed present (Misra-Gries 1982 / Agarwal 2012)."""
+    from fastdup_ray.stages.sketches import misra_gries_counts
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: key i appears ~ 4000/i times
+    keys = np.concatenate(
+        [np.repeat(f"k{i}", 4000 // i) for i in range(1, 200)]
+    )
+    rng.shuffle(keys)
+    texts = [" ".join(keys[s:s + 97]) for s in range(0, len(keys), 97)]
+    ds = _docs_ds(texts).repartition(16)
+
+    from fastdup_ray.stages.lm import _token_regions
+
+    def to_keys(t):
+        _, _, flat = _token_regions(t)
+        return flat
+
+    cap = 64
+    est_k, est_c, n, err = misra_gries_counts(ds, to_keys, capacity=cap)
+    assert n == len(keys)
+    assert len(est_k) <= cap
+    assert err <= n / (cap + 1)
+    true = pd.Series(keys).value_counts()
+    est = dict(zip(est_k, est_c))
+    for key, c_hat in est.items():
+        assert c_hat <= true[key] <= c_hat + err + 1e-9
+    # guaranteed presence of genuinely heavy keys
+    for key, c_true in true.items():
+        if c_true > n / (cap + 1):
+            assert key in est, f"heavy key {key} ({c_true}) missing"
+
+
+def test_misra_gries_exact_and_split_invariant(ray_session):
+    """capacity >= distinct keys -> exact counts, identical at any block
+    split (the property the heavy_hitters SQL twin relies on)."""
+    from fastdup_ray.stages.lm import _token_regions
+    from fastdup_ray.stages.sketches import misra_gries_counts
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, size=50)) for _ in range(40)]
+
+    def to_keys(t):
+        _, _, flat = _token_regions(t)
+        return flat
+
+    outs = []
+    for parts in (1, 13):
+        ds = _docs_ds(texts).repartition(parts)
+        k, c, n, err = misra_gries_counts(ds, to_keys, capacity=4096)
+        assert err == 0.0
+        outs.append(pd.Series(c, index=k).sort_index())
+    pd.testing.assert_series_equal(outs[0], outs[1])
+    true = pd.Series(
+        np.concatenate([t.split(" ") for t in texts])
+    ).value_counts().sort_index()
+    assert (outs[0] == true).all()
