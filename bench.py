@@ -218,6 +218,7 @@ def run_bench() -> dict:
         "contamination_ngrams", "temperature_mix",
         # round-4b additions
         "semdedup", "dsir_weights", "pmi_collocations", "heavy_hitters",
+        "nb_classify",
     ]
     cat = query_catalog()
     q_times: dict[str, float] = {}

@@ -3071,6 +3071,32 @@ LIMIT 50
 """
 
 
+def q_nb_classify(sf_dir: str, vocab_k: int = 256):
+    """Multinomial Naive Bayes classifier trained on the corpus's own
+    `source` labels (the GPT-3/CCNet quality-classifier shape: train a
+    cheap text classifier, score every doc, select by prediction).
+    Bounded count exchanges train the model; the knob-sized
+    log-probability matrix is broadcast once per scoring actor. Full
+    SQL twin (same tokenization/vocab/smoothing contract as the LM /
+    DSIR twins; 4dp-rounded scores, class-ascending argmax
+    tie-break)."""
+    from fastdup_ray.stages.nbayes import nb_classify
+
+    return nb_classify(
+        _t(sf_dir, "documents", ["doc_id", "text", "source"]),
+        label_col="source", vocab_k=vocab_k,
+    )
+
+
+def _sql_nb_classify() -> str:
+    from fastdup_ray.stages.nbayes import sql_nb_classify
+
+    return sql_nb_classify(256, "source")
+
+
+SQL_NB_CLASSIFY = _sql_nb_classify()
+
+
 def _sql_stratified(which: str) -> str:
     from fastdup_ray.pipelines.sql_hash import mix64_ctes
 
@@ -3406,6 +3432,7 @@ def queries():
         "dsir_weights": q_dsir_weights,
         "pmi_collocations": q_pmi_collocations,
         "heavy_hitters": q_heavy_hitters,
+        "nb_classify": q_nb_classify,
     }
 
 
@@ -3493,4 +3520,5 @@ def oracle_sql():
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "nb_classify": SQL_NB_CLASSIFY,
     }

@@ -87,6 +87,7 @@ CHECKED = [
     "dsir_weights",
     "pmi_collocations",
     "heavy_hitters",
+    "nb_classify",
 ]
 
 

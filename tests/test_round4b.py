@@ -198,3 +198,22 @@ def test_misra_gries_exact_and_split_invariant(ray_session):
         np.concatenate([t.split(" ") for t in texts])
     ).value_counts().sort_index()
     assert (outs[0] == true).all()
+
+
+def test_nb_classifier_separates_planted_classes(ray_session):
+    """Two vocabularies, two labels: held-in docs classify to their own
+    label; a mixed doc goes to the class whose words dominate it."""
+    from fastdup_ray.stages.nbayes import nb_classify
+
+    a = ["apple banana cherry apple banana"] * 8
+    b = ["rock stone boulder pebble gravel"] * 8
+    mixed_a = ["apple banana rock apple cherry"]   # 4 A-words, 1 B-word
+    texts = a + b + mixed_a
+    sources = ["A"] * 8 + ["B"] * 8 + ["B"]  # mislabeled on purpose
+    out = nb_classify(_docs_ds(texts, sources), label_col="source",
+                      vocab_k=64).to_pandas().set_index("doc_id")
+    assert (out.loc[:7, "pred"] == "A").all()
+    assert (out.loc[8:15, "pred"] == "B").all()
+    # the mislabeled mixed doc is recovered as A by content
+    assert out.loc[16, "pred"] == "A"
+    assert np.isfinite(out.score).all()
