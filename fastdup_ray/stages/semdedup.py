@@ -35,7 +35,6 @@ cluster sizes only skews partitions, not the driver.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -70,47 +69,50 @@ def semdedup(ds, centroids: np.ndarray, *, threshold: float = 0.4,
 
     assigned = ivf_assign(ds, centroids, embedding_col=embedding_col)
 
-    empty = pd.DataFrame({
-        id_col: pd.Series([], dtype=np.int64),
-        "cell": pd.Series([], dtype=np.int64),
-        "rep_id": pd.Series([], dtype=np.int64),
-        "keep": pd.Series([], dtype=bool),
-    })
+    def _out(ids, cells, reps) -> pa.Table:
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cell": pa.array(cells, pa.int64()),
+            "rep_id": pa.array(reps, pa.int64()),
+            "keep": pa.array(ids == reps),
+        })
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return empty.copy()
-        outs = []
-        for cell, g in df.groupby("cell", sort=False):
-            ids = g[id_col].to_numpy().astype(np.int64)
-            order = np.argsort(ids)
-            ids = ids[order]
-            m = _normalize(np.stack(
-                [np.asarray(e, dtype=np.float64)
-                 for e in g[embedding_col].to_numpy()[order]]
-            ))
-            n = ids.shape[0]
+    def per_partition(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        ids_all = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if n_rows == 0:
+            return _out(ids_all, ids_all, ids_all)
+        cells = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t[embedding_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m_all = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(n_rows, -1)
+        # group rows by cell with one stable sort, no per-group pandas
+        order0 = np.lexsort((ids_all, cells))
+        ids_all, cells, m_all = ids_all[order0], cells[order0], m_all[order0]
+        starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+        bounds = np.r_[starts, n_rows]
+        reps_all = np.empty(n_rows, np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ids = ids_all[s:e]
+            m = _normalize(m_all[s:e])
+            n = e - s
             ei_parts, ej_parts = [], []
-            for s in range(0, n, block_rows):
-                sim = m[s:s + block_rows] @ m.T
+            for b in range(0, n, block_rows):
+                sim = m[b:b + block_rows] @ m.T
                 bi, bj = np.nonzero(np.round(sim, 6) >= threshold)
-                bi = bi + s
+                bi = bi + b
                 upper = bi < bj  # strict upper triangle, one edge per pair
                 ei_parts.append(bi[upper])
                 ej_parts.append(bj[upper])
             ei = np.concatenate(ei_parts) if ei_parts else np.empty(0, np.int64)
             ej = np.concatenate(ej_parts) if ej_parts else np.empty(0, np.int64)
             lab = _group_min_label(n, ei, ej)
-            rep = ids[lab]
-            outs.append(pd.DataFrame({
-                id_col: ids,
-                "cell": np.full(n, cell, dtype=np.int64),
-                "rep_id": rep,
-                "keep": ids == rep,
-            }))
-        return pd.concat(outs, ignore_index=True)
+            reps_all[s:e] = ids[lab]
+        return _out(ids_all, cells, reps_all)
 
     return partitioned_groupby(
         assigned, "cell", per_partition,
-        num_parts=num_parts, prune_empty=True,
+        num_parts=num_parts, prune_empty=True, batch_format="pyarrow",
     )

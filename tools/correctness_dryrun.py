@@ -9,7 +9,10 @@ guarantee CORRECTNESS_r{N}.json comes back green:
     python tools/correctness_dryrun.py [sf_dir]     # default sf0.01
 
 2026-08-20 result at sf0.01: 67/67 OK, zero rows-only (every query has a
-full value-hash oracle).
+full value-hash oracle); the round-4b additions (semdedup, dsir_weights,
+pmi_collocations, heavy_hitters, nb_classify) were each verified at
+sf0.001 and sf0.01 on landing — re-run the full sweep before the round
+closes.
 """
 from __future__ import annotations
 
