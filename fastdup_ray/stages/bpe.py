@@ -50,7 +50,9 @@ def word_counts(docs, max_word_types: int):
         toks = pc.split_pattern(batch["text"], " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        vc = pc.value_counts(toks.values)
+        # flatten(), not .values: a zero-copy-sliced batch's .values spans
+        # the whole parent buffer and would count out-of-slice words
+        vc = pc.value_counts(toks.flatten())
         return pa.table({
             "word": vc.field("values"),
             "cnt": vc.field("counts").cast(pa.int64()),
@@ -170,6 +172,8 @@ class BpeEncodeStage:
             })
         ids, offs, flat = _token_regions(batch)
         uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        if len(self.cache) > 1_000_000:  # bound actor memory on open vocab
+            self.cache.clear()
         lens = np.empty(uniq.shape[0], np.int64)
         for i, w in enumerate(uniq):
             n = self.cache.get(w)

@@ -54,6 +54,10 @@ def _class_token_counts(docs, cats: list[str], classes: list[str],
         lab = pd.Categorical(
             batch[label_col].to_numpy(zero_copy_only=False), categories=classes
         ).codes.astype(np.int64)
+        if (lab < 0).any():
+            # a null / unseen label would otherwise wrap to a negative
+            # combined key and corrupt another class's counts
+            raise ValueError(f"null or unknown {label_col} label in batch")
         tok_lab = np.repeat(lab, np.diff(offs))
         uk, uc = np.unique(tok_lab * ncat + codes, return_counts=True)
         return pa.table({
