@@ -3360,57 +3360,15 @@ FROM trail tr LEFT JOIN agg a USING (doc_id)
 
 
 def queries():
+    # Catalog order is deliberate: the correctness driver verifies the FIRST
+    # 50 entries against the DuckDB oracles.  Rounds 1-4 banked green driver
+    # rows for the 50 oldest queries; this round rotates the 22 queries added
+    # in r3/r4 (never driver-checked before) into the window, padded with the
+    # 28 cheapest queries that already hold two rounds of driver evidence.
+    # Rotate again next round so every query gets a driver row within two
+    # rounds.  Local full-catalog sweep: tools/correctness_dryrun.py.
     return {
-        "dedup_survivors": q_dedup_survivors,
-        "domain_pair_summary": q_domain_pair_summary,
-        "top_docs_per_source": q_top_docs_per_source,
-        "stats_filtered_dups": q_stats_filtered_dups,
-        "component_majority_label": q_component_majority_label,
-        "majority_keep": q_majority_keep,
-        "url_components": q_url_components,
-        "knn_lists": q_knn_lists,
-        "kmeans_assign": q_kmeans_assign,
-        "kmeans_topk": q_kmeans_topk,
-        "doc_stats": q_doc_stats,
-        "exact_dup_components": q_exact_dup_components,
-        "lang_summary": q_lang_summary,
-        "source_topk": q_source_topk,
-        "chars_p90": q_chars_p90,
-        "prefix_dup_pairs": q_prefix_dup_pairs,
-        "token_totals": q_token_totals,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_components": q_minhash_components,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
-        "substring_dup_pairs": q_substring_dup_pairs,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,
-        "doc_embeddings": q_doc_embeddings,
-        "dup_size_histogram": q_dup_size_histogram,
-        "leakage_safe_split": q_leakage_safe_split,
-        "recent_events": q_recent_events,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ivf_probe_topk": q_ivf_probe_topk,
-        "text_quality": q_text_quality,
-        "ann_topk": q_ann_topk,
-        "windowed_events": q_windowed_events,
-        "sessionize": q_sessionize,
-        "last_order_before_event": q_last_order_before_event,
-        "word_repetition_stats": q_word_repetition_stats,
-        "benchmark_contamination": q_benchmark_contamination,
-        "contamination_ngrams": q_contamination_ngrams,
-        "customer_revenue_topk": q_customer_revenue_topk,
-        "customers_without_orders": q_customers_without_orders,
-        "customers_without_events": q_customers_without_events,
-        "pricing_summary": q_pricing_summary,
-        "outliers": q_outliers,
-        "label_score": q_label_score,
-        "pagerank": q_pagerank,
-        "hierarchical_components": q_hierarchical_components,
-        "lang_confusion": q_lang_confusion,
-        "bpe_token_counts": q_bpe_token_counts,
-        "token_pack_shards": q_token_pack_shards,
-        "hll_distinct_grams": q_hll_distinct_grams,
+        # --- 22 queries new in r3/r4, first driver check this round ---
         "doc_captions": q_doc_captions,
         "entity_span_counts": q_entity_span_counts,
         "zero_shot_labels": q_zero_shot_labels,
@@ -3433,6 +3391,58 @@ def queries():
         "pmi_collocations": q_pmi_collocations,
         "heavy_hitters": q_heavy_hitters,
         "nb_classify": q_nb_classify,
+        # --- 28 cheapest already-driver-green queries (window padding) ---
+        "doc_stats": q_doc_stats,
+        "text_quality": q_text_quality,
+        "word_repetition_stats": q_word_repetition_stats,
+        "contamination_ngrams": q_contamination_ngrams,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "source_topk": q_source_topk,
+        "lang_summary": q_lang_summary,
+        "bpe_token_counts": q_bpe_token_counts,
+        "token_totals": q_token_totals,
+        "windowed_events": q_windowed_events,
+        "exact_dup_components": q_exact_dup_components,
+        "prefix_dup_pairs": q_prefix_dup_pairs,
+        "kmeans_assign": q_kmeans_assign,
+        "url_components": q_url_components,
+        "kmeans_topk": q_kmeans_topk,
+        "top_docs_per_source": q_top_docs_per_source,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dedup_survivors": q_dedup_survivors,
+        "pricing_summary": q_pricing_summary,
+        "dup_size_histogram": q_dup_size_histogram,
+        "lang_confusion": q_lang_confusion,
+        "chars_p90": q_chars_p90,
+        "pagerank": q_pagerank,
+        "component_majority_label": q_component_majority_label,
+        "customer_revenue_topk": q_customer_revenue_topk,
+        "token_pack_shards": q_token_pack_shards,
+        "hll_distinct_grams": q_hll_distinct_grams,
+        "ivf_probe_topk": q_ivf_probe_topk,
+        # --- beyond the driver window (driver rows banked r1-r4) ---
+        "ann_topk": q_ann_topk,
+        "recent_events": q_recent_events,
+        "majority_keep": q_majority_keep,
+        "sessionize": q_sessionize,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "benchmark_contamination": q_benchmark_contamination,
+        "doc_embeddings": q_doc_embeddings,
+        "knn_lists": q_knn_lists,
+        "stats_filtered_dups": q_stats_filtered_dups,
+        "minhash_components": q_minhash_components,
+        "label_score": q_label_score,
+        "customers_without_orders": q_customers_without_orders,
+        "domain_pair_summary": q_domain_pair_summary,
+        "last_order_before_event": q_last_order_before_event,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "customers_without_events": q_customers_without_events,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "outliers": q_outliers,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "hierarchical_components": q_hierarchical_components,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
     }
 
 
