@@ -128,10 +128,15 @@ def run_bench() -> dict:
     # (99.2%) — precision is 1.0 either way because the verify stage
     # rescores candidates exactly. BENCH_SIGNER=minhash restores the
     # classic 128-permutation kernel.
+    # BENCH_ROUTE_PAIRS=1 measures the multi-node verify routing (pairs
+    # shuffled by (src_shard, dst_shard) so each verify task touches <= 2
+    # index shards); output equality with the default path is pytest-pinned
+    # (tests/test_round3.py::test_verify_route_pairs_matches_default)
     cfg = DedupConfig(num_partitions=min(64, ncpu), extract_concurrency=ncpu,
                       checkpoint_stages=ckpt,
                       verify_broadcast_max_bytes=16_000_000_000,
                       fused_extract_sign=os.environ.get("BENCH_FUSED", "0") == "1",
+                      verify_route_pairs=os.environ.get("BENCH_ROUTE_PAIRS", "0") == "1",
                       signer=os.environ.get("BENCH_SIGNER", "oph"))
     pipe = NearDupPipeline(cfg, work_dir=work_dir)
 

@@ -94,14 +94,19 @@ class DedupConfig:
     # --- exact-substring stage (fingerprint-based; SURVEY.md G10) ---
     substring_len: int = 256       # minimum shared-run length targeted
     substring_sample_mod: int = 16 # keep 1/mod of rolling fingerprints (sampled mode)
-    # anchor selection: "sampled" (1/mod density, documented miss prob) or
-    # "winnow" (rightmost-min per (len-window+1)-hash window — ZERO misses
-    # for runs >= substring_len provided every selected occurrence per doc
-    # per fingerprint is emitted (stages/substring._emit_anchor_pairs
+    # anchor selection: "winnow" (default; rightmost-min per
+    # (len-window+1)-hash window — ZERO misses for runs >= substring_len
+    # provided every selected occurrence per doc per fingerprint is
+    # emitted (stages/substring._emit_anchor_pairs
     # keep_all_occurrences=True); the only truncation left is the
-    # max_bucket_pairs skew cap. ~2/(w+1) density;
-    # stages/substring.AnchorStage)
-    substring_anchor_mode: str = "sampled"
+    # max_bucket_pairs skew cap. Density ~2/(w+1), SPARSER than
+    # sampled's 1/mod at the defaults (w=193 -> ~1% vs 6.25%) and
+    # measurably faster at the bench (BASELINE.md r5: winnow beat the
+    # sampled catalog query 3.0s vs 5.0s at sf0.1). "sampled" (1/mod
+    # density, miss prob (1-1/mod)^(run-window) per shared run) remains
+    # for anchor-budget control at very small substring_len, where the
+    # winnow window shrinks and its density approaches 1.
+    substring_anchor_mode: str = "winnow"
 
     # --- simhash ---
     simhash_hamming: int = 3       # max hamming distance for simhash near-dup pairs

@@ -51,10 +51,35 @@ def _snippets(docs, doc_ids, max_width: int = 120) -> dict[int, tuple[str, str]]
     }
 
 
+def _snippet_diff(a: str, b: str, width: int = 40) -> str:
+    """Compact divergence highlight between two snippets: trim the
+    common prefix/suffix and show the differing middles side by side,
+    '@<offset>: <a-mid> != <b-mid>'. Empty string when the snippets are
+    identical — on a duplicates gallery that means 'byte-equal within
+    the snippet window' (the reviewable evidence the reference embeds
+    as side-by-side images, galleries.py:415-485)."""
+    if a == b:
+        return ""
+    p = 0
+    m = min(len(a), len(b))
+    while p < m and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < m - p and a[len(a) - 1 - s] == b[len(b) - 1 - s]:
+        s += 1
+
+    def mid(x: str) -> str:
+        seg = x[p:len(x) - s]
+        return seg[:width] + ("..." if len(seg) > width else "")
+
+    return f"@{p}: {mid(a)!r} != {mid(b)!r}"
+
+
 def duplicates_gallery(result, num_rows: int = 20, *, ascending: bool = False,
                        threshold: float | None = None, max_width: int = 120
                        ) -> pd.DataFrame:
-    """Top duplicate edges with both docs' snippets (O1 sort+head)."""
+    """Top duplicate edges with both docs' snippets (O1 sort+head) and a
+    `diff_snippet` column highlighting where the pair's texts diverge."""
     edges = result.similarity(threshold)
     if ascending:
         edges = result.pair_scores().sort("distance")
@@ -68,10 +93,11 @@ def duplicates_gallery(result, num_rows: int = 20, *, ascending: bool = False,
     for r in head:
         su, st = snip.get(int(r["src"]), ("", ""))
         du, dt = snip.get(int(r["dst"]), ("", ""))
-        rows.append((r["src"], r["dst"], round(r["distance"], 6), su, st, du, dt))
+        rows.append((r["src"], r["dst"], round(r["distance"], 6), su, st,
+                     du, dt, _snippet_diff(st, dt)))
     return pd.DataFrame(
         rows, columns=["src", "dst", "distance", "src_url", "src_text",
-                       "dst_url", "dst_text"],
+                       "dst_url", "dst_text", "diff_snippet"],
     )
 
 

@@ -16,10 +16,12 @@ KenLM-backed stage would use:
    map-side-combined (per-block ``np.unique`` on integer code pairs)
    before one small groupby-sum. Token codes are fixed by the broadcast
    vocab so partials agree across blocks.
-3. score — the count tables (bounded by observed bigram types <=
-   (vocab_k+2)^2, in practice far sparser) are ``ray.put`` once and read
-   by every scoring actor in ``__init__``; each doc gets its add-one
-   smoothed cross-entropy  -mean_i ln p(w_i | w_{i-1}),
+3. score — the count tables (hard-capped at ``max_bigram_types`` rows
+   on the driver via a per-partition top-B prune, exact while observed
+   types fit the budget; in practice far sparser than the
+   (vocab_k+2)^2 worst case) are ``ray.put`` once and read by every
+   scoring actor in ``__init__``; each doc gets its add-one smoothed
+   cross-entropy  -mean_i ln p(w_i | w_{i-1}),
    p(w|prev) = (c(prev,w)+1) / (c(prev)+V),  V = vocab_k_kept + 1.
 
 Scale note: the broadcast model is the scale ceiling — at web scale you
@@ -140,9 +142,24 @@ def _code_stream(batch: pa.Table, cats: list[str]):
     return ids, offs, codes, prev
 
 
-def train_bigram_counts(docs, cats: list[str]) -> pd.DataFrame:
-    """(k, c) table of bigram counts, k = prev_code * ncur + cur_code."""
+def train_bigram_counts(docs, cats: list[str], *,
+                        max_bigram_types: int = 2_000_000,
+                        num_parts: int = 16) -> pd.DataFrame:
+    """(k, c) table of bigram counts, k = prev_code * ncur + cur_code.
+
+    Driver memory is hard-bounded at O(num_parts * B), B =
+    ceil(max_bigram_types / num_parts): each hash partition holds the
+    EXACT global count for every key it owns (a key's rows land in
+    exactly one partition), so keeping the per-partition top-B by
+    (count desc, key asc) is exact whenever no partition observes more
+    than B distinct bigram types — in particular whenever the corpus'
+    total observed types fit the budget. Above the budget only the
+    rarest types in overfull partitions are dropped; they score as
+    count 0 and add-one smoothing absorbs them, while the driver table
+    stays bounded regardless of vocab_k (worst case without the cap is
+    (|cats|+1)^2 ~ 16.8M rows at vocab_k=4096)."""
     ncur = len(cats)
+    cap = max(1, -(-max_bigram_types // num_parts))  # ceil division
 
     def partial(batch: pa.Table) -> pa.Table:
         _, _, codes, prev = _code_stream(batch, cats)
@@ -152,15 +169,20 @@ def train_bigram_counts(docs, cats: list[str]) -> pd.DataFrame:
             "c": pa.array(uc.astype(np.int64), pa.int64()),
         })
 
+    def part_sum_topb(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False, sort=False)["c"].sum()
+        if len(g) > cap:
+            g = g.sort_values(["c", "k"], ascending=[False, True],
+                              kind="mergesort").head(cap)
+        return g
+
     from fastdup_ray.relational.ops import partitioned_groupby
 
     big = partitioned_groupby(
         docs.map_batches(partial, batch_format="pyarrow"),
-        "k",
-        lambda df: df.groupby("k", as_index=False, sort=False)["c"].sum(),
-        num_parts=16,
+        "k", part_sum_topb, num_parts=num_parts,
     )
-    return big.to_pandas()  # bounded by observed bigram types <= (|cats|+1)^2
+    return big.to_pandas()
 
 
 class LMScoreStage:

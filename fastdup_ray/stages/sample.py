@@ -72,16 +72,36 @@ def stratified_fixed_n(ds, *, n: int, key: str = "doc_id",
     the shuffle input to <= n rows per (group, block)."""
 
     def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         h = _keys(batch, key, salt)
         batch = batch.append_column("_h", pa.array(h.astype(np.int64)))
-        df = batch.to_pandas()
-        # uint64 reinterpreted as int64 keeps order only within sign
-        # halves; sort on the original uint64 values instead
-        df["_hu"] = h
-        keep = (df.sort_values(["_hu", key], kind="mergesort")
-                  .groupby(group_col, sort=False).head(n))
-        return pa.Table.from_pandas(
-            keep.drop(columns=["_hu"]), preserve_index=False)
+        if batch.num_rows == 0:
+            return batch
+        # Arrow-native per-group top-n: dictionary-encode the group
+        # column, lexsort (group, hash-uint64, key) in numpy, keep the
+        # first n ranks per group run. Null groups belong to no stratum
+        # and are dropped (the pandas-groupby semantics this replaced).
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        enc = pc.dictionary_encode(gcol)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(codes) if codes.dtype.kind == "f" else None
+        codes = np.nan_to_num(codes, nan=-1).astype(np.int64) \
+            if codes.dtype.kind == "f" else codes.astype(np.int64)
+        keyvals = batch[key].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.lexsort((keyvals, h, codes))
+        sc = codes[order]
+        starts = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
+        runs = np.diff(np.r_[starts, sc.shape[0]])
+        ranks = np.arange(sc.shape[0]) - np.repeat(starts, runs)
+        keep_mask = ranks < n
+        if valid is not None:
+            keep_mask &= valid[order]
+        keep_idx = np.sort(order[keep_mask])
+        return batch.take(pa.array(keep_idx))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

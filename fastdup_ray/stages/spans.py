@@ -170,35 +170,43 @@ def crop_spans(docs, spans, *, margin_frac: float = 0.2,
         "text": pa.array([], pa.string()),
     })
 
-    # Arrow out (downstream Project/rename ops require Arrow blocks)
-    def slice_crop(df: pd.DataFrame) -> pa.Table:
-        if not len(df):
+    def slice_crop(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
             return _empty
-        start = df["span_start"].to_numpy(np.int64)
-        ln = df["span_len"].to_numpy(np.int64)
+        start = batch["span_start"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = batch["span_len"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         margin = np.round(ln * margin_frac).astype(np.int64)
         lo = np.maximum(start - margin, 0)
         hi = start + ln + margin
-        texts = df[text_col].tolist()
-        # per-row substring slice — crop extraction is per-row in the
-        # reference too (image crop per bbox); the stage parallelizes
-        # across partitions
+        # per-row CODEPOINT slice with per-row bounds (matches the span
+        # detector's regex offsets); Arrow's utf8_slice_codeunits only
+        # takes scalar bounds, so the slice itself stays a Python loop —
+        # crop extraction is per-row in the reference too (image crop
+        # per bbox); the stage parallelizes across partitions
+        texts = batch[text_col].to_pylist()
         crops = [t[a:b] for t, a, b in zip(texts, lo, hi)]
-        url = (df["url"].astype(str) + "#s" + df["span_start"].astype(str)
-               + "+" + df["span_len"].astype(str))
+        url = pc.binary_join_element_wise(
+            pc.cast(batch["url"], pa.string()), "#s",
+            pc.cast(batch["span_start"], pa.string()), "+",
+            pc.cast(batch["span_len"], pa.string()), "")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
         return pa.table({
-            "crop_id": pa.array(id63(url.tolist()).astype(np.int64)),
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
-            "url": pa.array(url.tolist(), pa.string()),
-            "det_label": pa.array(df["det_label"].astype(str).tolist(),
-                                  pa.string()),
+            "crop_id": pa.array(id63(url.to_pylist()).astype(np.int64)),
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "url": url,
+            "det_label": pc.cast(batch["det_label"], pa.string()),
             "span_start": pa.array(start),
             "span_len": pa.array(ln),
             "crop_start": pa.array(lo),
             "text": pa.array(crops, pa.string()),
         })
 
-    return joined.map_batches(slice_crop, batch_format="pandas")
+    return joined.map_batches(slice_crop, batch_format="pyarrow")
 
 
 def join_crops(docs, crops, *, num_partitions: int = 32):

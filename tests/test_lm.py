@@ -5,7 +5,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from fastdup_ray.stages.lm import lm_cross_entropy, train_vocab
+from fastdup_ray.stages.lm import (lm_cross_entropy, train_bigram_counts,
+                                   train_vocab)
 
 
 def _docs(rows):
@@ -32,6 +33,26 @@ def test_vocab_cap_and_tiebreak(ray_session):
     ds = _docs(["b b a a c", "d"])
     # counts: a=2 b=2 c=1 d=1 -> cap 2 keeps (a, b) via token-asc tiebreak
     assert train_vocab(ds, 2) == ["a", "b"]
+
+
+def test_bigram_driver_table_capped(ray_session):
+    # large synthetic vocab: 40 docs x unique token streams produce many
+    # distinct bigram types; the driver table must respect the budget
+    rows = [" ".join(f"t{d}_{i}" for i in range(50)) for d in range(40)]
+    ds = _docs(rows)
+    cats = train_vocab(ds, 5000) + ["<unk>"]
+    full = train_bigram_counts(ds, cats)
+    assert len(full) > 640  # the synthetic corpus really is type-rich
+    capped = train_bigram_counts(ds, cats, max_bigram_types=640,
+                                 num_parts=16)
+    assert len(capped) <= 640
+    # the kept rows carry the exact global counts of the uncapped table
+    merged = capped.merge(full, on="k", suffixes=("_cap", "_full"))
+    assert (merged["c_cap"] == merged["c_full"]).all()
+    # under-budget call is exactly the uncapped table
+    loose = train_bigram_counts(ds, cats, max_bigram_types=10_000_000)
+    assert (loose.sort_values("k").reset_index(drop=True)
+            .equals(full.sort_values("k").reset_index(drop=True)))
 
 
 def test_parallelism_invariance(ray_session):

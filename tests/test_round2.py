@@ -159,7 +159,10 @@ def test_substring_reports_longest_of_multiple_runs(ray_session):
             "text": pa.array([doc_a, doc_b]),
         }
     )
-    cfg = DedupConfig(substring_len=256, substring_sample_mod=4)
+    # pin sampled mode explicitly (winnow became the config default in
+    # r5) so the 1/mod anchor path keeps its own coverage
+    cfg = DedupConfig(substring_len=256, substring_sample_mod=4,
+                      substring_anchor_mode="sampled")
     out = substring_pairs(rd.from_arrow(tbl), cfg).take_all()
     assert len(out) == 1
     assert out[0]["match_len"] >= 256
@@ -303,6 +306,12 @@ def test_galleries(r2_run, tmp_path):
     dup = duplicates_gallery(res, 10)
     assert len(dup) > 0 and (dup["distance"] >= 0.9).all()
     assert (dup["src_text"].str.len() > 0).all()
+    # diff highlight: present for every row; empty exactly when the two
+    # snippets agree byte-for-byte, '@<off>: ...' pinpointing otherwise
+    assert "diff_snippet" in dup.columns
+    same = dup["src_text"] == dup["dst_text"]
+    assert (dup.loc[same, "diff_snippet"] == "").all()
+    assert dup.loc[~same, "diff_snippet"].str.match(r"@\d+: ").all()
     comp = components_gallery(res, 10)
     assert len(comp) > 0 and (comp["len"] >= 2).all()
     outl = outliers_gallery(res, 10)
