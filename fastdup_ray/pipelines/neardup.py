@@ -81,6 +81,63 @@ def _dir_fingerprint(path: str) -> str:
     return "|".join(parts)
 
 
+def _split_scored_pairs(pairs, scores, *, num_parts: int = 32):
+    """(reused, to_verify): one (src,dst)-keyed hash-partition shuffle
+    splitting candidate `pairs` against already-scored `scores`.
+
+    reused    — scores rows whose pair IS in `pairs` (distance kept);
+    to_verify — pairs with no score yet (src, dst only).
+
+    Scores for pairs NOT in `pairs` are dropped. Exactness argument for
+    the incremental path: verify is pointwise deterministic in the two
+    endpoint payloads, which an append never mutates, so a reused
+    distance equals what re-verifying would compute."""
+    import pyarrow.compute as pc
+
+    from fastdup_ray.relational.ops import partitioned_groupby
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b["src"].cast(pa.int64()),
+            "dst": b["dst"].cast(pa.int64()),
+            "distance": pa.nulls(b.num_rows, pa.float64()),
+            "__side": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def tag_scores(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b["src"].cast(pa.int64()),
+            "dst": b["dst"].cast(pa.int64()),
+            "distance": b["distance"].cast(pa.float64()),
+            "__side": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    both = pairs.select_columns(["src", "dst"]).map_batches(
+        tag_pairs, batch_format="pyarrow"
+    ).union(scores.select_columns(["src", "dst", "distance"]).map_batches(
+        tag_scores, batch_format="pyarrow"
+    ))
+
+    def split(df):
+        left = df.loc[df["__side"] == 0, ["src", "dst"]]
+        right = df.loc[df["__side"] == 1, ["src", "dst", "distance"]]
+        return left.merge(right, on=["src", "dst"], how="left")
+
+    merged = partitioned_groupby(
+        both, ["src", "dst"], split, num_parts=num_parts
+    ).materialize()
+    reused = merged.map_batches(
+        lambda b: b.filter(pc.is_valid(b["distance"])),
+        batch_format="pyarrow",
+    )
+    to_verify = merged.map_batches(
+        lambda b: b.filter(pc.is_null(b["distance"]))
+                   .select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    return reused, to_verify
+
+
 class NearDupPipeline:
     def __init__(self, config: DedupConfig | None = None,
                  work_dir: str = "/tmp/fastdup_ray_work", *,
@@ -397,22 +454,43 @@ class NearDupPipeline:
 
     def run_incremental(self, new_pages, *, base: "NearDupResult",
                         input_token: str, base_token: str | None = None,
-                        resume: bool = True) -> "NearDupResult":
+                        resume: bool = True,
+                        exact_pairs: bool = True) -> "NearDupResult":
         """Append-mode dedup — the daily-crawl increment path the
         reference covers with its test-vs-train run modes (RUN.md:188-191
         run_mode=3/4, __init__.py:594-597): extract + sign ONLY the new
-        batch, emit intra-new candidates plus new-x-base candidates via
-        the G7 cross emitter over the base run's (already signed) band
-        rows, verify those pairs exactly against the UNION of both
-        corpora's payloads (the verify stage endpoint-filters, so only
-        pair members are ever indexed), union the new scores with the
-        base run's scored edges, and re-run connected components over the
-        combined edge set (CC is the cheap stage).
+        batch, then:
 
-        Every kernel is deterministic, so the result is EXACTLY what a
-        full run over old+new pages would produce (pytest-pinned:
-        tests/test_round3.py::test_incremental_equals_full_run) — without
-        re-extracting, re-signing or re-verifying the base corpus.
+        * ``exact_pairs=True`` (default) — re-emit candidates over the
+          UNION of both corpora's band rows (one groupby, the same
+          emission — including the max_bucket_pairs skew-cap choices —
+          a full run over old+new would make), split the emitted pairs
+          against the base run's scored edges (one pair-keyed shuffle:
+          already-scored pairs reuse their distance, a pair's endpoints
+          and texts are unchanged so the verify kernel is pointwise
+          deterministic), and verify ONLY the never-scored pairs. The
+          result is EXACTLY what a full run over old+new pages would
+          produce at ANY scale (pytest-pinned with a forced skew cap:
+          tests/test_round3.py::test_incremental_exact_under_skew_cap).
+          Saves re-extracting, re-signing and re-verifying the base
+          corpus; re-pays only the candidate-emission groupby.
+        * ``exact_pairs=False`` (fast mode) — emit intra-new candidates
+          plus new-x-base candidates via the G7 cross emitter, verify
+          those, and union with the base run's scored edges. Skips the
+          union-bands emission, but in buckets that trip the
+          max_bucket_pairs skew cap the split emitters make DIFFERENT
+          capping choices than a full run would (richer bipartite
+          emission, but also star centers that shift when new docs join
+          a capped bucket) — the edge set is neither a subset nor a
+          superset of the full run's, and components drift slightly
+          (measured at 2.2M pages: 2.00M vs 0.51M edges, components
+          12,717 vs 12,722 — 0.04%). Exact below the cap
+          (tests/test_round3.py::test_incremental_equals_full_run).
+
+        Verify runs against the union of both corpora's payloads (the
+        verify stage endpoint-filters, so only pair members are ever
+        indexed); connected components re-runs over the combined edge
+        set (CC is the cheap stage).
 
         base_token identifies the base run for resume fingerprinting;
         when None, the incremental stages run with resume disabled (a
@@ -445,6 +523,8 @@ class NearDupPipeline:
 
         from fastdup_ray.stages.lsh import cross_candidate_pairs
 
+        mode_token = f"exact_pairs={exact_pairs}"
+
         def build_pairs():
             bands_new = sigs_n.map_batches(
                 BandStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
@@ -452,12 +532,17 @@ class NearDupPipeline:
             bands_base = base.signatures().map_batches(
                 BandStage(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
             )
+            if exact_pairs:
+                # full-run emission over the union band rows: identical
+                # bucket membership => identical skew-cap choices
+                return candidate_pairs(bands_new.union(bands_base), cfg)
             intra = candidate_pairs(bands_new, cfg)
             cross = cross_candidate_pairs(bands_new, bands_base, cfg)
             return intra.union(cross)
 
         pairs_n, fp_pn = self._stage(
-            "pairs_incr", [fp_sn, base_token], build_pairs, resume=resume
+            "pairs_incr", [fp_sn, base_token, mode_token], build_pairs,
+            resume=resume,
         )
 
         docs_all = docs_n.union(base.docs())
@@ -466,14 +551,31 @@ class NearDupPipeline:
         sig_schema = sigs_all.schema()
         if cfg.verify_mode == "exact" and sig_schema and "shingles" in sig_schema.names:
             shingle_sets = sigs_all.select_columns(["doc_id", "shingles"])
-        scores_n, fp_scn = self._stage(
-            "pair_scores_incr", [fp_pn, base_token],
-            lambda: verify_pairs(pairs_n, sigs_all, docs_all, cfg,
-                                 shingle_sets=shingle_sets),
-            resume=resume,
-        )
 
-        scores_all = scores_n.union(base.pair_scores()).materialize()
+        if exact_pairs:
+            # one pair-keyed shuffle: emitted pairs that the base run
+            # already scored reuse their distance; the rest go to verify.
+            # Base scores whose pair was NOT re-emitted are dropped — the
+            # full run would never have scored them (star centers shift
+            # when new docs join a capped bucket).
+            reused, to_verify = _split_scored_pairs(
+                pairs_n, base.pair_scores(), num_parts=cfg.num_partitions
+            )
+            scores_n, fp_scn = self._stage(
+                "pair_scores_incr", [fp_pn, base_token, mode_token],
+                lambda: verify_pairs(to_verify, sigs_all, docs_all, cfg,
+                                     shingle_sets=shingle_sets),
+                resume=resume,
+            )
+            scores_all = scores_n.union(reused).materialize()
+        else:
+            scores_n, fp_scn = self._stage(
+                "pair_scores_incr", [fp_pn, base_token, mode_token],
+                lambda: verify_pairs(pairs_n, sigs_all, docs_all, cfg,
+                                     shingle_sets=shingle_sets),
+                resume=resume,
+            )
+            scores_all = scores_n.union(base.pair_scores()).materialize()
 
         def build_components():
             edges = self._hook("pre_components", scores_all).map_batches(
@@ -491,7 +593,9 @@ class NearDupPipeline:
             build_components, resume=resume,
         )
 
-        pairs_all = pairs_n.union(base._pairs)
+        # exact mode's pairs_n IS the full-run emission; fast mode's
+        # covers only new-touching pairs and needs the base set unioned
+        pairs_all = pairs_n if exact_pairs else pairs_n.union(base._pairs)
         self.flush_checkpoints()
         return NearDupResult(self, docs_all, sigs_all, pairs_all, scores_all, comps)
 

@@ -728,8 +728,12 @@ def test_incremental_equals_full_run(ray_session, tmp_path_factory):
 
     pipe = NearDupPipeline(cfg, work_dir=str(tmp_path_factory.mktemp("wd_incr")))
     baseA = pipe.run(rd.from_arrow(A).repartition(6), input_token="A")
+    # fast mode pinned here (exact below the skew cap, which this
+    # fixture never trips); exact_pairs=True has its own cap-forced pin
+    # in test_incremental_exact_under_skew_cap
     incr = pipe.run_incremental(
-        rd.from_arrow(B).repartition(4), base=baseA, input_token="B"
+        rd.from_arrow(B).repartition(4), base=baseA, input_token="B",
+        exact_pairs=False,
     )
 
     def edge_set(res):
@@ -755,6 +759,58 @@ def test_incremental_equals_full_run(ray_session, tmp_path_factory):
     # processed B's rows
     n_b_docs = incr._docs.count() - baseA.docs().count()
     assert 0 < n_b_docs <= 360  # ~300 pages + synthetic dup planting
+
+
+def test_incremental_exact_under_skew_cap(ray_session, tmp_path_factory):
+    """r5: with max_bucket_pairs forced tiny so the star cap engages,
+    exact_pairs=True must STILL equal the full run bit-for-bit (the
+    union-bands emission makes identical capping choices), while the
+    fast mode's split emitters produce a known edge-superset."""
+    from fastdup_ray.pipelines.neardup import NearDupPipeline
+    from fastdup_ray.sources.pages import synthesize_pages
+
+    pages, _ = synthesize_pages(900, seed=23)
+    A, B = pages.slice(0, 600), pages.slice(600)
+    cfg = DedupConfig(max_bucket_pairs=2)  # every bucket >2 docs stars
+
+    full = NearDupPipeline(
+        cfg, work_dir=str(tmp_path_factory.mktemp("wd_full_cap"))
+    ).run(rd.from_arrow(pages).repartition(8), input_token="full")
+
+    pipe = NearDupPipeline(
+        cfg, work_dir=str(tmp_path_factory.mktemp("wd_incr_cap")))
+    baseA = pipe.run(rd.from_arrow(A).repartition(6), input_token="A")
+    incr = pipe.run_incremental(
+        rd.from_arrow(B).repartition(4), base=baseA, input_token="B")
+
+    def edge_set(res):
+        return {
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]),
+             round(r["distance"], 9))
+            for r in res.similarity().take_all()
+        }
+
+    ef, ei = edge_set(full), edge_set(incr)
+    assert ef and ef == ei
+
+    def comp_map(res):
+        return {r["doc_id"]: r["component_id"]
+                for r in res.connected_components().take_all()}
+
+    assert comp_map(full) == comp_map(incr)
+
+    # fast mode under the same forced cap: the split emitters make
+    # different star choices, so its edge set is NEITHER a subset nor a
+    # superset of the full run's — pin that it runs and that the
+    # divergence is real on this fixture (the reason exact is default)
+    pipe2 = NearDupPipeline(
+        cfg, work_dir=str(tmp_path_factory.mktemp("wd_incr_fast")))
+    baseA2 = pipe2.run(rd.from_arrow(A).repartition(6), input_token="A")
+    fast = pipe2.run_incremental(
+        rd.from_arrow(B).repartition(4), base=baseA2, input_token="B",
+        exact_pairs=False)
+    e_fast = edge_set(fast)
+    assert e_fast and e_fast != ef
 
 
 def test_load_result_roundtrip(ray_session, tmp_path_factory):
