@@ -92,6 +92,55 @@ def ppm_decode(payload: bytes) -> dict:
     }
 
 
+def ppm_encode(pixels: np.ndarray) -> bytes:
+    """Inverse of `ppm_decode`: (h, w, 3) uint8 -> binary P6 bytes.
+    Roundtrip-pinned in tests; the header layout matches the decoder's
+    split(b"\\n", 3) parser exactly."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w = pixels.shape[:2]
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + np.ascontiguousarray(pixels, np.uint8).tobytes()
+
+
+def text_thumbnail(text: str, cell: int = 32) -> np.ndarray:
+    """Deterministic (cell, cell, 3) uint8 raster of a document's text —
+    the text-native analog of the reference's image thumbnails
+    (tensorboard_projector.py:16-171 renders each image into the sprite).
+    One UTF-8 byte per pixel, row-major, colored by character class
+    (whitespace white, lowercase blue, uppercase green, digit orange,
+    punctuation red) and shaded by the byte value, so prose, code,
+    tables and boilerplate produce visibly different textures. Fully
+    vectorized; no fonts, no external libs."""
+    raw = np.frombuffer(text.encode("utf-8")[: cell * cell], np.uint8)
+    img = np.full((cell * cell, 3), 255, np.uint8)
+    n = raw.shape[0]
+    if n:
+        b = raw.astype(np.int16)
+        shade = (b % 64) * 2  # 0..126 intra-class variation
+        px = np.empty((n, 3), np.int16)
+        ws = (b == 32) | (b == 9) | (b == 10) | (b == 13)
+        low = (b >= 97) & (b <= 122)
+        upp = (b >= 65) & (b <= 90)
+        dig = (b >= 48) & (b <= 57)
+        other = ~(ws | low | upp | dig)
+        px[ws] = 255
+        px[low] = np.stack(
+            [40 + shade[low] // 2, 80 + shade[low] // 2,
+             255 - shade[low] // 4], axis=1)
+        px[upp] = np.stack(
+            [30 + shade[upp] // 2, 200 - shade[upp] // 4,
+             90 + shade[upp] // 2], axis=1)
+        px[dig] = np.stack(
+            [230 - shade[dig] // 4, 140 + shade[dig] // 2,
+             30 + shade[dig] // 2], axis=1)
+        px[other] = np.stack(
+            [210 - shade[other] // 4, 60 + shade[other] // 2,
+             70 + shade[other] // 2], axis=1)
+        img[:n] = np.clip(px, 0, 255).astype(np.uint8)
+    return img.reshape(cell, cell, 3)
+
+
 class MediaDecodeStage:
     """pages-like batch (id_col, media binary col) -> typed media table.
 

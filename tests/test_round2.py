@@ -633,6 +633,48 @@ def test_export_projector(ray_session, tmp_path):
     assert len(dims) == 1  # constant dimensionality
 
 
+def test_export_projector_sprite(ray_session, tmp_path):
+    """r5 K7 completion: sprite.ppm sheet of per-doc text thumbnails,
+    tile order == vector order, decodable by the shipped P6 codec."""
+    import numpy as np
+
+    from fastdup_ray.pipelines.sinks import export_projector
+    from fastdup_ray.stages.multimodal import (ppm_decode, ppm_encode,
+                                               text_thumbnail)
+
+    # codec roundtrip
+    tile = text_thumbnail("def f(x):\n    return X * 42  # ok", 16)
+    assert tile.shape == (16, 16, 3) and tile.dtype == np.uint8
+    d = ppm_decode(ppm_encode(tile))
+    assert (d["width"], d["height"]) == (16, 16)
+    # deterministic and class-sensitive: same text -> same raster,
+    # different class mix -> different raster
+    assert np.array_equal(tile, text_thumbnail("def f(x):\n    return X * 42  # ok", 16))
+    assert not np.array_equal(tile, text_thumbnail("ALL UPPER CASE TEXT", 16))
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet") \
+        .map_batches(lambda b: b.select(["doc_id", "text"])
+                     .rename_columns(["vec_id", "text"])
+                     .append_column("embedding", b["doc_id"].cast("float64")),
+                     batch_format="pyarrow")
+
+    def listify(b):
+        import pyarrow as pa
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "text": b["text"],
+            "embedding": pa.array([[float(x)] for x in b["embedding"].to_pylist()]),
+        })
+
+    out = export_projector(docs.map_batches(listify, batch_format="pyarrow"),
+                           str(tmp_path / "spr"), max_rows=10,
+                           sprite_text_col="text", sprite_cell=8)
+    assert out["rows"] == 10 and out["sprite_cell"] == 8
+    dec = ppm_decode(open(out["sprite"], "rb").read())
+    grid = int(np.ceil(np.sqrt(10)))  # 4x4 grid of 8px tiles
+    assert (dec["width"], dec["height"]) == (grid * 8, grid * 8)
+
+
 def test_checkpoint_stage_optout(ray_session, tmp_path):
     """checkpoint_stages opt-out: un-checkpointed stages skip the Parquet
     write (no stage dir) but the pipeline result is identical."""
