@@ -761,6 +761,39 @@ def test_incremental_equals_full_run(ray_session, tmp_path_factory):
     assert 0 < n_b_docs <= 360  # ~300 pages + synthetic dup planting
 
 
+def test_split_scored_pairs_partition(ray_session):
+    """r5 unit pin: the pair-keyed split behind exact incremental —
+    reused == scores ∩ pairs (distances intact), to_verify == pairs
+    with no score, scores outside the pair set dropped; robust to an
+    empty side."""
+    from fastdup_ray.pipelines.neardup import _split_scored_pairs
+
+    pairs = rd.from_arrow(pa.table({
+        "src": pa.array([1, 1, 2, 9], pa.int64()),
+        "dst": pa.array([2, 3, 3, 9], pa.int64()),
+    }))
+    scores = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 7], pa.int64()),
+        "dst": pa.array([2, 3, 8], pa.int64()),
+        "distance": pa.array([0.9, 0.0, 0.5], pa.float64()),
+    }))
+    reused, to_verify = _split_scored_pairs(pairs, scores, num_parts=4)
+    got_r = sorted((r["src"], r["dst"], r["distance"])
+                   for r in reused.take_all())
+    # distance 0.0 is a legal score and must be REUSED, not re-verified
+    assert got_r == [(1, 2, 0.9), (2, 3, 0.0)]
+    got_v = sorted((r["src"], r["dst"]) for r in to_verify.take_all())
+    assert got_v == [(1, 3), (9, 9)]  # (7,8) dropped: not re-emitted
+
+    empty_scores = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "distance": pa.array([], pa.float64()),
+    }))
+    r2, v2 = _split_scored_pairs(pairs, empty_scores, num_parts=4)
+    assert r2.count() == 0 and v2.count() == pairs.count()
+
+
 def test_incremental_exact_under_skew_cap(ray_session, tmp_path_factory):
     """r5: with max_bucket_pairs forced tiny so the star cap engages,
     exact_pairs=True must STILL equal the full run bit-for-bit (the
