@@ -462,10 +462,28 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
     docs: Dataset with (doc_id, text) — used to build shingle sets in
     exact mode when `shingle_sets` (doc_id, shingles) isn't supplied.
     """
+    import os
+    import sys
+    import time
+
     import ray
 
     cfg = config or DedupConfig()
     np_parts = cfg.num_partitions
+
+    # FASTDUP_VERIFY_PHASES=1: print driver-side phase walls to stderr —
+    # the fixed-cost attribution tool behind BASELINE.md's scaling
+    # decomposition (each phase below is a serial barrier on the driver)
+    _t0 = time.monotonic()
+    _phase_log = os.environ.get("FASTDUP_VERIFY_PHASES") == "1"
+
+    def _phase(name: str):
+        nonlocal _t0
+        if _phase_log:
+            now = time.monotonic()
+            print(f"[verify-phase] {name}: {now - _t0:.3f}s",
+                  file=sys.stderr)
+            _t0 = now
 
     pairs = pairs.materialize()
     if pairs.count() == 0:
@@ -475,6 +493,7 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
             {"src": pa.int64(), "dst": pa.int64(), "distance": pa.float64()}
         )
     pairs = with_schema(pairs, {"src": pa.int64(), "dst": pa.int64()})
+    _phase("pairs_materialize")
 
     # Only pair ENDPOINTS are ever looked up, and endpoints scale with the
     # candidate budget, not the corpus (~15% of docs here; a tiny fraction
@@ -514,6 +533,7 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
             ]
         ends_ref = end_refs[0]
     n_endpoints = int(_ray.get(_arr_len.remote(ends_ref)))
+    _phase("endpoint_reduce")
 
     def _endpoint_filter(batch: pa.Table) -> pa.Table:
         ends = _ray.get(ends_ref)
@@ -550,6 +570,7 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
         packed = shingle_sets.map_batches(
             _endpoint_filter, batch_format="pyarrow"
         ).map_batches(_pack_shingles, batch_format="pyarrow").materialize()
+        _phase("pack_filter_materialize")
         # rough payload estimate: avg set size x 4 bytes; sample 1k rows
         sample = packed.limit(1000).take_all()
         avg = (
@@ -560,6 +581,7 @@ def verify_pairs(pairs, signatures, docs, config: DedupConfig | None = None,
             refs, router = _build_index_shards(
                 packed, "sh_bin", cfg.verify_index_shards
             )
+            _phase("shard_build_launch")
             return _broadcast_verify(pairs, refs, router, is_signature=False,
                                      num_perms=cfg.num_perms,
                                      route_pairs=cfg.verify_route_pairs)
