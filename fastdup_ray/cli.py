@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     app.add_argument("--num-cpus", type=int,
                      default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     app.add_argument("--no-resume", action="store_true")
+    app.add_argument(
+        "--fast-pairs", action="store_true",
+        help="skip the union-bands candidate emission (faster when the "
+             "LSH skew cap never engages; above it the edge set can "
+             "drift from a full old+new run — exact mode is the default)",
+    )
 
     rep = sub.add_parser("report", help="galleries + HTML digest from a finished work_dir")
     rep.add_argument("--input", required=True)
@@ -96,7 +102,7 @@ def main(argv=None) -> int:
         res = pipe.run_incremental(
             rd.read_parquet(args.input), base=base,
             input_token=f"append:{args.input}", base_token=base_token,
-            resume=not args.no_resume,
+            resume=not args.no_resume, exact_pairs=not args.fast_pairs,
         )
         summary = res.summary()
         if args.out:
