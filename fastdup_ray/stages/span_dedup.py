@@ -151,33 +151,49 @@ def span_kill_list(docs, *, window: int = 13, num_parts: int = 64):
                                num_parts=num_parts)
 
 
-def _rebuild_batch(batch: pa.Table, window: int, kill_by_doc: dict) -> pa.Table:
-    """Rebuild text for one batch. Documents with no killed window take the
-    vectorized path (space-join of all tokens == original text under the
-    single-space token model); only killed documents loop."""
+def _rebuild_batch(batch: pa.Table, window: int, kill_docs: np.ndarray,
+                   kill_wins: np.ndarray) -> pa.Table:
+    """Rebuild text for one batch, fully vectorized (r5: the former
+    per-killed-doc Python loop is gone): route the (doc_id, win_idx)
+    kill rows to batch rows via one searchsorted, mark the killed
+    windows' token positions False in ONE keep-mask over the batch's
+    flat token stream, then Arrow-filter the flat tokens, rebuild the
+    list offsets from per-doc kept counts and space-join. A doc's
+    trailing <window tokens are never inside a full window, so the
+    default-True mask keeps them — identical semantics to the old
+    body+trailer join (the output is exactly ' '.join of the kept
+    tokens in order)."""
+    n = batch.num_rows
     toks = pc.split_pattern(batch["text"], " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    joined = pc.binary_join(toks, " ")
-    hit = np.fromiter((int(d) in kill_by_doc for d in doc_ids),
-                      dtype=bool, count=len(doc_ids))
-    if not hit.any():
-        return pa.table({"doc_id": batch["doc_id"], "text_clean": joined})
-    out = joined.to_pylist()
-    for i in np.flatnonzero(hit):
-        tok = toks[i].as_py()
-        dead = kill_by_doc[int(doc_ids[i])]
-        nw = len(tok) // window
-        parts = [
-            tok[w * window:(w + 1) * window]
-            for w in range(nw) if w not in dead
-        ]
-        parts.append(tok[nw * window:])
-        out[i] = " ".join(t for p in parts for t in p)
+    if n == 0 or kill_docs.shape[0] == 0:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text_clean": pc.binary_join(toks, " ")})
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    sid = ids[order]
+    pos = np.clip(np.searchsorted(sid, kill_docs), 0, n - 1)
+    m = sid[pos] == kill_docs
+    rows = order[pos[m]]
+    if rows.size == 0:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text_clean": pc.binary_join(toks, " ")})
+    wins = kill_wins[m].astype(np.int64)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off_rel = offs - offs[0]
+    flat = toks.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    keep = np.ones(int(off_rel[-1]), dtype=bool)
+    killpos = (off_rel[rows] + wins * window)[:, None] + np.arange(window)
+    keep[killpos.ravel()] = False
+    new_counts = np.add.reduceat(keep, off_rel[:-1])
+    new_off = np.zeros(n + 1, np.int32)
+    new_off[1:] = np.cumsum(new_counts, dtype=np.int64)
+    new_list = pa.ListArray.from_arrays(
+        pa.array(new_off, pa.int32()), flat.filter(pa.array(keep)))
     return pa.table({
         "doc_id": batch["doc_id"],
-        "text_clean": pa.array(out, pa.string()),
+        "text_clean": pc.binary_join(new_list, " "),
     })
 
 
@@ -195,14 +211,13 @@ def span_dedup_docs(docs, *, window: int = 13, num_parts: int = 64,
     kills = span_kill_list(docs, window=window, num_parts=num_parts)
     kills = kills.select_columns(["doc_id", "win_idx"]).materialize()
     if kills.count() <= broadcast_budget:
-        kill_by_doc: dict[int, set] = {}
-        for r in kills.take_all():
-            kill_by_doc.setdefault(int(r["doc_id"]), set()).add(
-                int(r["win_idx"]))
-        ref = ray.put(kill_by_doc)
+        kdf = kills.to_pandas()
+        ref = ray.put((kdf["doc_id"].to_numpy(np.int64),
+                       kdf["win_idx"].to_numpy(np.int64)))
 
         def fn(batch: pa.Table) -> pa.Table:
-            return _rebuild_batch(batch, window, ray.get(ref))
+            kd, kw = ray.get(ref)
+            return _rebuild_batch(batch, window, kd, kw)
 
         return docs.map_batches(fn, batch_format="pyarrow")
     return _span_rebuild_cogroup(docs, kills, window=window,
@@ -233,16 +248,14 @@ def _span_rebuild_cogroup(docs, kills, *, window: int, num_parts: int):
 
     def rebuild_part(df: pd.DataFrame) -> pd.DataFrame:
         is_doc = df["text"].notna()
-        kb: dict[int, set] = {}
-        for d, w in zip(df.loc[~is_doc, "doc_id"].to_numpy(),
-                        df.loc[~is_doc, "win_idx"].to_numpy()):
-            kb.setdefault(int(d), set()).add(int(w))
+        kd = df.loc[~is_doc, "doc_id"].to_numpy(np.int64)
+        kw = df.loc[~is_doc, "win_idx"].to_numpy(np.int64)
         part = df.loc[is_doc, ["doc_id", "text"]]
         batch = pa.table({
             "doc_id": pa.array(part["doc_id"].to_numpy(), pa.int64()),
             "text": pa.array(part["text"].astype(str)),
         })
-        return _rebuild_batch(batch, window, kb).to_pandas()
+        return _rebuild_batch(batch, window, kd, kw).to_pandas()
 
     return partitioned_groupby(both, "doc_id", rebuild_part,
                                num_parts=num_parts)
