@@ -6,10 +6,56 @@ import pyarrow as pa
 import ray.data as rd
 
 from fastdup_ray.stages.span_dedup import (
+    _rebuild_batch,
     _windows_of_batch,
     span_dedup_docs,
     span_kill_list,
 )
+
+
+def test_rebuild_batch_matches_reference_property():
+    """r5: the vectorized rebuild (keep-mask + Arrow filter) must equal
+    the straightforward per-doc reference on random docs and kill sets,
+    including empty docs, trailers, docs with no kills, and kill rows
+    for absent docs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    W = 3
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        n_docs = data.draw(st.integers(0, 6))
+        texts, kills = [], []
+        for d in range(n_docs):
+            ntok = data.draw(st.integers(0, 11))
+            texts.append(" ".join(f"t{d}_{i}" for i in range(ntok)))
+            # token count after split: empty string -> [''] -> 1 token
+            nw = max(1, ntok) // W
+            for w in range(nw):
+                if data.draw(st.booleans()):
+                    kills.append((d, w))
+        if data.draw(st.booleans()):
+            kills.append((999, 0))  # absent doc: must be ignored
+        batch = pa.table({
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        kd = np.array([k[0] for k in kills], np.int64)
+        kw = np.array([k[1] for k in kills], np.int64)
+        got = {r["doc_id"]: r["text_clean"]
+               for r in _rebuild_batch(batch, W, kd, kw).to_pylist()}
+        for d in range(n_docs):
+            tok = texts[d].split(" ")
+            dead = {w for dd, w in kills if dd == d}
+            nw = len(tok) // W
+            parts = [tok[w * W:(w + 1) * W] for w in range(nw) if w not in dead]
+            parts.append(tok[nw * W:])
+            want = " ".join(t for p in parts for t in p)
+            assert got[d] == want, (d, texts[d], sorted(dead))
+
+    run()
 
 
 def test_window_explosion_edges(ray_session):
