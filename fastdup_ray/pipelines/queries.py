@@ -592,13 +592,18 @@ SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u
 
 
 def q_simhash_near_dup_pairs(sf_dir: str):
-    """SimHash near-dup path (rows-only: hamming bucketing is hash-defined):
-    documents -> 64-bit fingerprints -> quarter buckets -> exact-hamming
-    verified pairs (hamming <= 3)."""
+    """SimHash near-dup path: documents -> 64-bit fingerprints -> quarter
+    buckets -> exact-hamming verified pairs (hamming <= 3). The catalog
+    query pins `simhash_value_cap` off (1M) so the emission is the FULL
+    clique per quarter bucket — exactly the SQL oracle's pair set at any
+    scale (the production default 256 star-verifies pathologically
+    diverse buckets instead, which dropped one pair at sf0.1 — found by
+    the r5 full-catalog sf0.1 dryrun; the star fallback keeps its own
+    pytest)."""
     from fastdup_ray.stages.signatures import SignStage
     from fastdup_ray.stages.simhash_pairs import simhash_candidate_pairs
 
-    cfg = DedupConfig()
+    cfg = DedupConfig(simhash_value_cap=1_000_000)
     sigs = (
         _t(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(SignStage(cfg), batch_format="pyarrow")
@@ -2372,13 +2377,21 @@ def q_knn_lists(sf_dir: str, n_queries: int = 5, k: int = 10):
     driver's value compare; Arrow lists don't)."""
     topk = q_ann_topk(sf_dir, n_queries=n_queries, k=k)
 
+    # mean over 5dp-rounded cosines, computed in exact integer
+    # micro-units: each cosine is a multiple of 1e-5, so
+    # sum(round(c*1e5)) is an exact (order-free) int64 and ONE IEEE
+    # division yields bit-identical doubles on both engines. The former
+    # round(mean, 5) hit a half-boundary at sf0.1 (0.341245 -> python
+    # half-even 0.34124 vs DuckDB half-away 0.34125, found by the
+    # full-catalog sf0.1 dryrun in r5).
     def to_list(g: pd.DataFrame) -> pd.DataFrame:
+        micro = np.round(g["cosine"].to_numpy() * 1e5).astype(np.int64)
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
         return pd.DataFrame(
             {
                 "query_id": [np.int64(g["query_id"].iloc[0])],
                 "neighbors": [",".join(g["neighbor_id"].astype(str))],
-                "mean_cosine": [round(float(g["cosine"].mean()), 5)],
+                "mean_cosine": [int(micro.sum()) / (len(micro) * 100000.0)],
             }
         )
 
@@ -2399,7 +2412,7 @@ WITH t AS (
 )
 SELECT query_id,
        string_agg(neighbor_id::VARCHAR, ',' ORDER BY cosine DESC, neighbor_id) AS neighbors,
-       ROUND(avg(cosine), 5) AS mean_cosine
+       SUM(CAST(ROUND(cosine * 100000) AS BIGINT)) / (COUNT(*) * 100000.0) AS mean_cosine
 FROM t GROUP BY query_id
 """
 

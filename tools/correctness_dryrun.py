@@ -13,6 +13,18 @@ full value-hash oracle); the round-4b additions (semdedup, dsir_weights,
 pmi_collocations, heavy_hitters, nb_classify) were each verified at
 sf0.001 and sf0.01 on landing — re-run the full sweep before the round
 closes.
+
+r5: the sweep was also run at sf0.1 (10x the driver's gate scale) and
+caught two REAL scale-boundary divergences, both fixed: knn_lists'
+round(mean,5) hit a half-boundary (python half-even vs DuckDB
+half-away; now exact integer micro-unit mean), and
+simhash_near_dup_pairs' value-cap star fallback engaged and dropped a
+pair (catalog query now pins the cap off). Post-fix: 71/72 OK at
+sf0.1; the one non-result is hierarchical_components, whose Ray side
+returns fine but whose quadratic recursive-CTE ORACLE exhausts >75 GB
+of DuckDB temp disk at sf0.1 — the oracle is infeasible at that
+scale, not mismatched (it hash-matches at sf0.001/sf0.01, the scales
+the driver gate runs).
 """
 from __future__ import annotations
 
