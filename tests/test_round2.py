@@ -633,6 +633,30 @@ def test_export_projector(ray_session, tmp_path):
     assert len(dims) == 1  # constant dimensionality
 
 
+def test_snippet_diff_properties():
+    """diff is '' iff the snippets are byte-equal; otherwise it names
+    the first divergence offset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fastdup_ray.pipelines.galleries import _snippet_diff
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(alphabet="abX ", max_size=12),
+           st.text(alphabet="abX ", max_size=12))
+    def run(a, b):
+        d = _snippet_diff(a, b)
+        if a == b:
+            assert d == ""
+        else:
+            assert d.startswith("@")
+            off = int(d[1:].split(":", 1)[0])
+            assert a[:off] == b[:off]
+            assert off == len(a) or off == len(b) or a[off] != b[off]
+
+    run()
+
+
 def test_export_projector_sprite(ray_session, tmp_path):
     """r5 K7 completion: sprite.ppm sheet of per-doc text thumbnails,
     tile order == vector order, decodable by the shipped P6 codec."""
